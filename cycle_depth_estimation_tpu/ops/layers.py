@@ -1,0 +1,312 @@
+"""Core NHWC layers with torch-equivalent semantics, built for XLA/TPU.
+
+These are the building blocks for every network in the framework (the
+framework-wide analogue of the reference's raw ``torch.nn`` usage in
+models/networks.py, models/seg_network.py, new_multi/networks5_ds.py, …).
+
+Semantics parity notes (verified by tests/test_torch_parity.py against torch):
+
+- ``Conv``: integer symmetric zero-padding like ``nn.Conv2d(padding=p)``.
+- ``ConvTranspose``: reproduces ``nn.ConvTranspose2d(k, s, padding=p,
+  output_padding=op)`` as an input-dilated regular convolution with
+  asymmetric padding ``(k-1-p, k-1-p+op)``. The kernel is *stored* in the
+  equivalent-regular-conv HWIO layout (spatially flipped / IO-transposed
+  relative to torch's ``(in, out, kh, kw)``) so the forward pass is a single
+  ``conv_general_dilated`` that XLA maps straight onto the MXU.
+- ``InstanceNorm``: per-(sample, channel) mean/var over H,W, biased variance,
+  eps 1e-5, affine off by default — matching
+  ``nn.InstanceNorm2d(affine=False, track_running_stats=False)``
+  (reference models/networks.py:16-17). Statistics always in fp32.
+- ``reflect_pad`` / ``replicate_pad``: ``nn.ReflectionPad2d`` /
+  ``nn.ReplicationPad2d``.
+
+Compute dtype: pass ``dtype=jnp.bfloat16`` for TPU throughput; params stay
+fp32 and are cast at use (mixed-precision policy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from .init import make_initializer, zeros
+
+Dtype = Any
+
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+def reflect_pad(x: jax.Array, pad: Union[int, Sequence[int]]) -> jax.Array:
+    """NHWC reflection padding (= nn.ReflectionPad2d)."""
+    ph, pw = _pair(pad)
+    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+
+
+def replicate_pad(x: jax.Array, pad: Union[int, Sequence[int]]) -> jax.Array:
+    """NHWC replication padding (= nn.ReplicationPad2d)."""
+    ph, pw = _pair(pad)
+    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="edge")
+
+
+class Conv(nn.Module):
+    """2-D convolution, NHWC, torch Conv2d padding semantics.
+
+    Attributes:
+      features: output channels.
+      kernel_size: int or (kh, kw).
+      stride: int or (sh, sw).
+      padding: int or (ph, pw) — symmetric zero padding, torch-style. May also
+        be an explicit ((top, bottom), (left, right)) tuple.
+      use_bias: include bias term.
+      dtype: compute dtype (params remain fp32).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Any = 0
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    kernel_init: Callable = make_initializer("normal", 0.02)
+    bias_init: Callable = zeros
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        dh, dw = _pair(self.dilation)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, in_ch // self.feature_group_count, self.features),
+            jnp.float32,
+        )
+        if isinstance(self.padding, int):
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+        elif isinstance(self.padding, (tuple, list)) and isinstance(self.padding[0], int):
+            ph, pw = self.padding
+            pad = ((ph, ph), (pw, pw))
+        else:
+            pad = tuple(tuple(p) for p in self.padding)
+
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(sh, sw),
+            padding=pad,
+            rhs_dilation=(dh, dw),
+            dimension_numbers=DIMENSION_NUMBERS,
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(dtype)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed 2-D convolution matching nn.ConvTranspose2d(k, s, p, op).
+
+    Output size: (N-1)*s - 2p + k + op. Implemented as an lhs-dilated regular
+    conv; see module docstring. Used for the generator up-sampling stages
+    (reference models/networks.py:178-181 k3 s2 p1 op1, and the U-Net's
+    k4 s2 p1, models/networks.py:285-301).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 1
+    output_padding: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    kernel_init: Callable = make_initializer("normal", 0.02)
+    bias_init: Callable = zeros
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        in_ch = x.shape[-1]
+        # Equivalent-regular-conv layout: HWIO with I=in_ch, O=features.
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        pad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(sh, sw),
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(dtype)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=False, track_running_stats=False) by default."""
+
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+            y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+class Norm(nn.Module):
+    """Norm-layer factory: 'instance' | 'batch' | 'none'.
+
+    The reference selects norms by string (models/networks.py:12-22); the same
+    strings select here. 'batch' follows torch BatchNorm2d defaults
+    (eps 1e-5, momentum 0.1 — i.e. flax momentum 0.9) with affine params.
+    """
+
+    kind: str = "instance"
+    affine: Optional[bool] = None  # default: False for instance, True for batch
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.kind == "none":
+            return x
+        if self.kind == "instance":
+            affine = False if self.affine is None else self.affine
+            return InstanceNorm(affine=affine, name="norm")(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="norm",
+            )(x)
+        raise NotImplementedError(f"normalization layer [{self.kind}] is not found")
+
+
+def norm_uses_bias(kind: str) -> bool:
+    """Conv bias convention of the reference: bias iff norm is InstanceNorm
+    (or none) — see models/networks.py:152-155."""
+    return kind != "batch"
+
+
+def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None,
+             padding: int = 0, count_include_pad: bool = True) -> jax.Array:
+    """nn.AvgPool2d semantics (count_include_pad=True by torch default)."""
+    stride = stride or window
+    w = _pair(window)
+    s = _pair(stride)
+    p = _pair(padding)
+    pads = ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0))
+    summed = lax.reduce_window(
+        x, 0.0, lax.add, (1, w[0], w[1], 1), (1, s[0], s[1], 1), pads
+    )
+    if count_include_pad:
+        return summed / (w[0] * w[1])
+    ones = jnp.ones_like(x)
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add, (1, w[0], w[1], 1), (1, s[0], s[1], 1), pads
+    )
+    return summed / counts
+
+
+def max_pool(x: jax.Array, window: int, stride: Optional[int] = None,
+             padding: int = 0) -> jax.Array:
+    """nn.MaxPool2d semantics (zero-padded windows use -inf identity)."""
+    stride = stride or window
+    w = _pair(window)
+    s = _pair(stride)
+    p = _pair(padding)
+    pads = ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0))
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, w[0], w[1], 1), (1, s[0], s[1], 1), pads
+    )
+
+
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """nn.PixelShuffle on NHWC: (N,H,W,C·r²) → (N,H·r,W·r,C).
+
+    Channel order matches torch (C-major, then r_h, then r_w) so imported
+    weights upstream of a shuffle stay consistent
+    (used by _ShuffleUpBlock, reference models/seg_network.py:228-244).
+    """
+    n, h, w, c = x.shape
+    r = factor
+    oc = c // (r * r)
+    x = x.reshape(n, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r_h, w, r_w, oc
+    return x.reshape(n, h * r, w * r, oc)
+
+
+def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbour resize to (H, W) — torch F.interpolate('nearest')."""
+    n, h, w, c = x.shape
+    oh, ow = size
+    # torch 'nearest' uses floor(i * in/out) source indexing.
+    rows = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int],
+                    align_corners: bool = False) -> jax.Array:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear').
+
+    align_corners=False → half-pixel centers (same as jax.image.resize).
+    align_corners=True  → endpoint-aligned sampling (used throughout the
+    reference's upsampling heads, e.g. new_model/my_rf_lw.py decoders).
+    """
+    n, h, w, c = x.shape
+    oh, ow = size
+    if not align_corners:
+        return jax.image.resize(x, (n, oh, ow, c), method="bilinear")
+
+    def axis_weights(in_len, out_len):
+        if out_len == 1 or in_len == 1:
+            pos = jnp.zeros((out_len,), jnp.float32)
+        else:
+            pos = jnp.arange(out_len, dtype=jnp.float32) * ((in_len - 1) / (out_len - 1))
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_len - 1)
+        i1 = jnp.clip(i0 + 1, 0, in_len - 1)
+        frac = pos - i0.astype(jnp.float32)
+        return i0, i1, frac
+
+    r0, r1, rf = axis_weights(h, oh)
+    xf = x.astype(jnp.float32)
+    rows = xf[:, r0] * (1.0 - rf)[None, :, None, None] + xf[:, r1] * rf[None, :, None, None]
+    c0, c1, cf = axis_weights(w, ow)
+    out = rows[:, :, c0] * (1.0 - cf)[None, None, :, None] + rows[:, :, c1] * cf[None, None, :, None]
+    return out.astype(x.dtype)
