@@ -21,10 +21,20 @@ def register_model(name: str):
     return deco
 
 
+# model modules with registration side effects; extended as models land
+_MODEL_MODULES = ["cycle_gan", "pix2pix", "test_model"]
+
+
+def _import_all():
+    import importlib
+
+    for mod in _MODEL_MODULES:
+        importlib.import_module(f".{mod}", __package__)
+
+
 def get_model_class(name: str):
     if name not in _MODEL_REGISTRY:
-        # import side-effect registration
-        from . import cycle_gan, pix2pix, test_model, seg_model, seg_cycle  # noqa: F401
+        _import_all()
     if name not in _MODEL_REGISTRY:
         raise KeyError(
             f"model [{name}] not registered; available: {sorted(_MODEL_REGISTRY)}"
@@ -39,6 +49,5 @@ def create_model(config):
 
 
 def available_models():
-    from . import cycle_gan, pix2pix, test_model, seg_model, seg_cycle  # noqa: F401
-
+    _import_all()
     return sorted(_MODEL_REGISTRY)

@@ -1,0 +1,149 @@
+"""Model-orchestration contract — the framework's BaseModel.
+
+Functional re-design of the reference's stateful BaseModel
+(reference models/base_model.py:7-171). The reflection-over-name-lists
+pattern survives (``loss_names``, ``visual_names``, ``model_names``), but the
+lifecycle is functional:
+
+- ``init_state(rng)``      → immutable `ModelState` pytree (params, norm
+  stats, optimizer states, image pools, step counter).
+- ``train_step(state, batch, rng)`` → (state', metrics) — ONE jit-compiled
+  XLA program containing every sub-update of the reference's
+  ``optimize_parameters`` round-robin (G step, D steps, pool replay);
+  `stop_gradient` / selective-diff replaces detach / set_requires_grad.
+- ``eval_step(state, batch)``      → (metrics, visuals) — pure.
+- ``update_learning_rate(state, epoch)`` → state' (host-side policy, the
+  scalar LR lives in optimizer hyperparams on device).
+- ``save`` / ``load``        → orbax checkpoint of the whole state;
+  ``load_reference_networks`` imports the reference's per-net ``.pth``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from .networks import lr_schedule
+
+
+@struct.dataclass
+class ModelState:
+    params: Any
+    batch_stats: Any
+    opt_states: Any
+    pools: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float, beta1: float) -> optax.GradientTransformation:
+    """Adam matching torch defaults used throughout the reference
+    (betas=(beta1, 0.999), eps=1e-8; e.g. models/cycle_gan_model.py:66-69)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=beta1, b2=0.999)
+
+
+def set_opt_lr(opt_state, lr: float):
+    """Write a new learning rate into an inject_hyperparams state."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+class BaseModel:
+    """Shared lifecycle; concrete models define modules + step functions."""
+
+    loss_names: Tuple[str, ...] = ()
+    visual_names: Tuple[str, ...] = ()
+    model_names: Tuple[str, ...] = ()
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self._train_step_jit = None
+        self._eval_step_jit = None
+
+    # ---- module application helper -------------------------------------
+    def _apply(self, module, params, stats, x, *, train: bool = False,
+               rng: Optional[jax.Array] = None):
+        """Apply a flax module, threading batch_stats when the net has them.
+
+        Returns (y, new_stats). ``stats`` is {} for norm-free nets.
+        """
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        rngs = {"dropout": rng} if rng is not None else None
+        if train and stats:
+            y, mut = module.apply(variables, x, train=True, rngs=rngs,
+                                  mutable=["batch_stats"])
+            return y, mut["batch_stats"]
+        y = module.apply(variables, x, train=train, rngs=rngs)
+        return y, stats
+
+    # ---- lifecycle ------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> ModelState:  # pragma: no cover
+        raise NotImplementedError
+
+    def train_step(self, state: ModelState, batch, rng: jax.Array):
+        if self._train_step_jit is None:
+            # NOTE: no buffer donation — callers (train loops, tests) may hold
+            # the previous state for logging/compare; activations dominate HBM
+            # here, not params.
+            self._train_step_jit = jax.jit(self._step_train)
+        return self._train_step_jit(state, batch, rng)
+
+    def eval_step(self, state: ModelState, batch):
+        if self._eval_step_jit is None:
+            self._eval_step_jit = jax.jit(self._step_eval)
+        return self._eval_step_jit(state, batch)
+
+    def _step_train(self, state, batch, rng):  # pragma: no cover
+        raise NotImplementedError
+
+    def _step_eval(self, state, batch):  # pragma: no cover
+        raise NotImplementedError
+
+    # ---- learning-rate policy (reference base_model.py:67-71) ----------
+    lr_opt_names: Tuple[str, ...] = ()
+
+    def update_learning_rate(self, state: ModelState, epoch: int) -> ModelState:
+        cfg = self.cfg
+        new_opts = dict(state.opt_states)
+        for name in self.lr_opt_names:
+            base = cfg.lr_d if name.startswith("D") and cfg.lr_d else cfg.lr
+            lr = lr_schedule(cfg.lr_policy, base, epoch=epoch, niter=cfg.niter,
+                             niter_decay=cfg.niter_decay,
+                             lr_decay_iters=cfg.lr_decay_iters)
+            new_opts[name] = set_opt_lr(state.opt_states[name], lr)
+        return state.replace(opt_states=new_opts)
+
+    # ---- checkpointing --------------------------------------------------
+    def _ckpt_dir(self, epoch: str) -> str:
+        return os.path.abspath(os.path.join(self.cfg.expr_dir(), f"ckpt_{epoch}"))
+
+    def save_networks(self, state: ModelState, epoch) -> str:
+        """Orbax whole-state checkpoint (reference saved per-net .pth,
+        models/base_model.py:102-114)."""
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(str(epoch))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load_networks(self, state: ModelState, epoch) -> ModelState:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(str(epoch))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, jax.device_get(state))
+        return jax.tree.map(jnp.asarray, restored)
+
+    # ---- metrics helpers ------------------------------------------------
+    def metrics_dict(self, **kw) -> Dict[str, jax.Array]:
+        return {k: jnp.asarray(v, jnp.float32) for k, v in kw.items()}

@@ -1,0 +1,17 @@
+"""Device-mesh parallelism utilities (SPMD over ICI/DCN)."""
+
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    host_shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "host_shard_batch",
+]

@@ -1,0 +1,58 @@
+"""Mesh construction and sharding helpers.
+
+The TPU-native replacement for the reference's ``nn.DataParallel``
+(reference models/seg_network.py:90-93, new_multi/model5.py:212-221; SURVEY.md
+§2.3): a `jax.sharding.Mesh` with a ``data`` axis (optionally a ``model``
+axis for spatial/tensor sharding). Train steps are plain jit programs; the
+batch carries a NamedSharding over ``data``, params are replicated, and XLA
+emits the gradient all-reduce over ICI — no hand-written collectives.
+
+Multi-host (the reference has none — SURVEY.md §2.3) comes for free: call
+`jax.distributed.initialize()` before `make_mesh` and the same program spans
+slices over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a device mesh. Default: all devices on one ``data`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for an NHWC batch: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Constrain every array in a batch pytree to batch-axis sharding."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
+
+
+def host_shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """device_put a host batch pytree with the batch dim split over ``axis``.
+
+    This is the host→HBM boundary (the reference's ``.cuda()`` in
+    ``set_input``, e.g. models/cycle_gan_model.py:76-77) — one transfer per
+    step, sliced across devices.
+    """
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
