@@ -119,6 +119,7 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # default: all devices on 'data'
     prefetch_depth: int = 2
     tpu_precision: str = "default"  # 'default' | 'highest' (parity runs)
+    platform: str = "default"       # 'default' | 'cpu' | 'tpu' | 'axon'
 
     def expr_dir(self) -> str:
         return os.path.join(self.checkpoints_dir, self.name)
@@ -185,6 +186,8 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True) -> Confi
     ns = parser.parse_args(argv)
     explicit = {k for k, v in vars(ns).items() if v is not None}
     cfg = base.replace(**{k: v for k, v in vars(ns).items() if v is not None})
+    if not is_train and "phase" not in explicit:
+        cfg = cfg.replace(phase="test")  # reference test_options.py:12
     cfg = apply_model_defaults(cfg, explicit)
     if cfg.suffix:
         cfg = cfg.replace(name=cfg.name + "_" + cfg.suffix.format(**vars(cfg)))

@@ -1,0 +1,127 @@
+"""Threaded batch loader + device prefetch.
+
+The host-side replacement for ``torch.utils.data.DataLoader(num_workers=N)``
+(reference data/__init__.py:59-63): a thread pool decodes/transforms samples
+(PIL/numpy release the GIL for the heavy parts), batches are stacked NHWC
+numpy arrays, and `prefetch_to_device` keeps ``depth`` batches in flight to
+HBM so TPU steps never wait on the host (SURVEY.md §2.3 async-data-loading
+row).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _stack_batch(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals  # paths / metadata stay python lists
+    return out
+
+
+class DataLoader:
+    """Iterable over batches; shuffling is seeded and epoch-dependent."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
+                 num_workers: int = 4, max_dataset_size: int = 2 ** 31,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.max_dataset_size = max_dataset_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self._pool: Optional[cf.ThreadPoolExecutor] = None
+
+    def __len__(self):
+        n = min(len(self.dataset), self.max_dataset_size)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def _indices(self) -> np.ndarray:
+        n = min(len(self.dataset), self.max_dataset_size)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed * 7919 + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        idx = self._indices()
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        # pipeline: keep up to 2 batches of samples in flight
+        pending: List[List[cf.Future]] = []
+        bi = 0
+
+        def submit(b):
+            return [self._pool.submit(self.dataset.__getitem__, int(i)) for i in b]
+
+        while bi < len(batches) and len(pending) < 2:
+            pending.append(submit(batches[bi]))
+            bi += 1
+        while pending:
+            futs = pending.pop(0)
+            if bi < len(batches):
+                pending.append(submit(batches[bi]))
+                bi += 1
+            yield _stack_batch([f.result() for f in futs])
+
+
+def prefetch_to_device(iterator, mesh=None, depth: int = 2):
+    """Double-buffered host→HBM transfer.
+
+    Wraps a batch iterator; array leaves are `jax.device_put` (sharded over
+    the mesh's ``data`` axis when a mesh is given) ``depth`` batches ahead of
+    consumption. Non-array leaves (paths) pass through untouched.
+    """
+    import collections
+
+    import jax
+
+    from ..parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        def leaf(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding) if sharding is not None \
+                    else jax.device_put(x)
+            return x
+
+        return {k: leaf(v) for k, v in batch.items()}
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()

@@ -48,9 +48,17 @@ def make_optimizer(lr: float, beta1: float) -> optax.GradientTransformation:
 
 
 def set_opt_lr(opt_state, lr: float):
-    """Write a new learning rate into an inject_hyperparams state."""
+    """Write a new learning rate into an inject_hyperparams state.
+
+    The new scalar adopts the old scalar's sharding so the train step does
+    not recompile after an epoch LR update.
+    """
     hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    old = hp["learning_rate"]
+    new = jnp.asarray(lr, jnp.float32)
+    if hasattr(old, "sharding"):
+        new = jax.device_put(new, old.sharding)
+    hp["learning_rate"] = new
     return opt_state._replace(hyperparams=hp)
 
 

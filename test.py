@@ -1,0 +1,76 @@
+"""Inference CLI — mirrors the reference test driver (reference test.py:9-40).
+
+Loads a generator (orbax checkpoint or a reference ``.pth`` via
+``--pth_path``), runs it over a SingleDataset folder, and writes an HTML
+gallery of input/output pairs under ``results/<name>/<phase>_<epoch>/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    from cycle_depth_estimation_tpu.config import parse_args, print_options
+    from cycle_depth_estimation_tpu.data import create_dataloader
+    from cycle_depth_estimation_tpu.models import create_model
+    from cycle_depth_estimation_tpu.utils.html import HTML
+    from cycle_depth_estimation_tpu.utils.visualizer import save_images
+
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    pth_path = None
+    if "--pth_path" in args:
+        i = args.index("--pth_path")
+        pth_path = args[i + 1]
+        del args[i:i + 2]
+
+    cfg = parse_args(args, is_train=False)
+    # reference test defaults: single-thread-friendly, no flip, loadSize=fineSize
+    cfg = cfg.replace(load_size=cfg.fine_size, no_flip=True, serial_batches=True)
+    print(print_options(cfg, save=False))
+    if cfg.platform != "default":
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.tpu_precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+    loader = create_dataloader(cfg, phase=cfg.phase, shuffle=False)
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(cfg.seed))
+    if pth_path is not None:
+        state = model.load_reference_generator(state, pth_path)
+    elif os.path.isdir(model._ckpt_dir(cfg.epoch)):
+        state = model.load_networks(state, cfg.epoch)
+    else:
+        print("warning: no checkpoint found — running with random init")
+
+    web_dir = os.path.join(cfg.results_dir, cfg.name, f"{cfg.phase}_{cfg.epoch}")
+    webpage = HTML(web_dir, f"Experiment = {cfg.name}, Phase = {cfg.phase}, "
+                            f"Epoch = {cfg.epoch}")
+    n_done = 0
+    for batch in loader:
+        if n_done >= cfg.num_test:
+            break
+        arrays = {k: jax.numpy.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+        _, visuals = model.eval_step(state, arrays)
+        for b in range(arrays["A"].shape[0]):
+            if n_done >= cfg.num_test:
+                break
+            path = batch["A_paths"][b]
+            per_sample = {k: np.asarray(v[b]) for k, v in visuals.items()}
+            print(f"processing ({n_done:04d})-th image... {path}")
+            save_images(webpage, per_sample, path,
+                        aspect_ratio=cfg.aspect_ratio,
+                        width=cfg.display_winsize)
+            n_done += 1
+    webpage.save()
+    return web_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Training CLI — mirrors the reference driver loop (reference train.py:10-81).
+
+Example (tiny synthetic run):
+    python train.py --model cycle_gan --dataroot ./datasets/maps \
+        --niter 5 --niter_decay 5 --batch_size 8
+
+Flow: parse config → train/test dataloaders → create model → init (or resume)
+state → per-batch jitted train step with device prefetch → periodic console/
+JSONL/HTML logging, in-loop eval, checkpoint saves → per-epoch LR policy step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    from cycle_depth_estimation_tpu.config import parse_args, print_options
+    from cycle_depth_estimation_tpu.data import create_dataloader
+    from cycle_depth_estimation_tpu.data.loader import prefetch_to_device
+    from cycle_depth_estimation_tpu.models import create_model
+    from cycle_depth_estimation_tpu.parallel import make_mesh, replicated
+    from cycle_depth_estimation_tpu.utils.visualizer import Visualizer
+
+    cfg = parse_args(argv, is_train=True)
+    print(print_options(cfg))
+    if cfg.platform != "default":
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.tpu_precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+    loader_train = create_dataloader(cfg, phase="train")
+    try:
+        loader_test = create_dataloader(cfg.replace(is_train=False), phase="test",
+                                        shuffle=False)
+    except (AssertionError, FileNotFoundError, KeyError):
+        loader_test = None
+    print(f"#training batches = {len(loader_train)}")
+
+    mesh = make_mesh(cfg.mesh_shape)
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(cfg.seed))
+    if cfg.continue_train:
+        state = model.load_networks(state, cfg.epoch)
+    # replicate the state onto the mesh up front so the first and second steps
+    # compile identically (outputs inherit mesh shardings)
+    state = jax.device_put(state, replicated(mesh))
+    visualizer = Visualizer(cfg)
+
+    total_steps = 0
+    rng = jax.random.key(cfg.seed + 1)
+    for epoch in range(cfg.epoch_count, cfg.niter + cfg.niter_decay + 1):
+        epoch_start = time.time()
+        loader_train.set_epoch(epoch)
+        iter_start = time.time()
+        for batch in prefetch_to_device(loader_train, mesh,
+                                        depth=cfg.prefetch_depth):
+            t_data = time.time() - iter_start
+            paths = {k: v for k, v in batch.items() if isinstance(v, list)}
+            arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+            rng, step_rng = jax.random.split(rng)
+            state, losses = model.train_step(state, arrays, step_rng)
+            total_steps += cfg.batch_size
+
+            if total_steps % cfg.print_freq < cfg.batch_size:
+                losses_host = {k: float(v) for k, v in losses.items()}
+                t_step = time.time() - iter_start - t_data
+                visualizer.print_current_losses(epoch, total_steps, losses_host,
+                                                t_step, t_data)
+                visualizer.log_scalars(epoch, total_steps, losses_host)
+
+            if total_steps % cfg.display_freq < cfg.batch_size:
+                _, visuals = model.eval_step(state, arrays)
+                visualizer.display_current_results(
+                    {k: np.asarray(v) for k, v in visuals.items()}, epoch)
+
+            if total_steps % cfg.save_latest_freq < cfg.batch_size:
+                print(f"saving the latest model (epoch {epoch}, "
+                      f"total_steps {total_steps})")
+                model.save_networks(state, "latest")
+            iter_start = time.time()
+
+        # ---- in-loop validation (reference train.py:33-49) ----
+        if loader_test is not None:
+            eval_losses = []
+            for i, batch in enumerate(prefetch_to_device(loader_test, mesh)):
+                if i >= 50:
+                    break
+                arrays = {k: v for k, v in batch.items()
+                          if not isinstance(v, list)}
+                m, _ = model.eval_step(state, arrays)
+                eval_losses.append({k: float(v) for k, v in m.items()})
+            if eval_losses:
+                avg = {k: float(np.mean([e[k] for e in eval_losses]))
+                       for k in eval_losses[0]}
+                print(f"[eval epoch {epoch}] "
+                      + " ".join(f"{k}: {v:.3f}" for k, v in avg.items()))
+                visualizer.log_scalars(epoch, total_steps,
+                                       {f"eval_{k}": v for k, v in avg.items()})
+
+        if epoch % cfg.save_epoch_freq == 0:
+            print(f"saving the model at the end of epoch {epoch}")
+            model.save_networks(state, "latest")
+            model.save_networks(state, epoch)
+
+        print(f"End of epoch {epoch} / {cfg.niter + cfg.niter_decay} \t "
+              f"Time Taken: {time.time() - epoch_start:.0f} sec")
+        visualizer.save_html(epoch)
+        state = model.update_learning_rate(state, epoch)
+    return state
+
+
+if __name__ == "__main__":
+    main()
