@@ -22,7 +22,7 @@ def register_model(name: str):
 
 
 # model modules with registration side effects; extended as models land
-_MODEL_MODULES = ["cycle_gan", "pix2pix", "test_model"]
+_MODEL_MODULES = ["cycle_gan", "pix2pix", "test_model", "seg_model", "seg_cycle"]
 
 
 def _import_all():

@@ -75,21 +75,25 @@ class BaseModel:
         self._eval_step_jit = None
 
     # ---- module application helper -------------------------------------
-    def _apply(self, module, params, stats, x, *, train: bool = False,
-               rng: Optional[jax.Array] = None):
+    def _apply(self, module, params, stats, *args, train: bool = False,
+               rng: Optional[jax.Array] = None, **kwargs):
         """Apply a flax module, threading batch_stats when the net has them.
 
-        Returns (y, new_stats). ``stats`` is {} for norm-free nets.
+        Returns (y, new_stats). ``stats`` is {} for norm-free nets. The rng
+        (when given) feeds both 'dropout' and 'noise' streams.
         """
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+            rngs = {"dropout": r1, "noise": r2}
         if train and stats:
-            y, mut = module.apply(variables, x, train=True, rngs=rngs,
-                                  mutable=["batch_stats"])
+            y, mut = module.apply(variables, *args, train=True, rngs=rngs,
+                                  mutable=["batch_stats"], **kwargs)
             return y, mut["batch_stats"]
-        y = module.apply(variables, x, train=train, rngs=rngs)
+        y = module.apply(variables, *args, train=train, rngs=rngs, **kwargs)
         return y, stats
 
     # ---- lifecycle ------------------------------------------------------
