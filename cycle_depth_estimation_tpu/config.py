@@ -113,6 +113,17 @@ class Config:
                                     # (cycle_gan_model.py:151-160); set 1 for
                                     # the standard CycleGAN recipe.
 
+    # ---- S2D (new_multi) architecture knobs; defaults = reference
+    #      DenseNet-169 working point (networks5_ds.py:367) ----
+    dense_block_config: Optional[List[int]] = None  # default (6, 12, 32, 32)
+    g1_blocks: int = 3
+    resnet_layers: Optional[List[int]] = None       # rf_lw: default (3, 4, 23, 3)
+
+    # ---- validation harness (reference new_multi/train5.py:85-115) ----
+    eval_freq: int = 1000
+    kitti_gt_dir: str = ""          # depth_selection groundtruth_depth dir
+    records_file: str = "records.txt"
+
     # ---- TPU-native additions ----
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
     seed: int = 0
@@ -144,6 +155,7 @@ MODEL_DEFAULTS = {
     "seg": dict(no_dropout=True, dataset_mode="synthia"),
     "seg_cycle": dict(no_dropout=True, dataset_mode="synthia"),
     "S2D": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
 }
 
 
@@ -177,7 +189,7 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True) -> Confi
                                 action="store_true", default=None)
         else:
             typ = type(default) if default is not None else str
-            if isinstance(default, list) or f.name == "mesh_shape":
+            if isinstance(default, list) or "List" in str(f.type):
                 parser.add_argument(flag, *aliases, dest=f.name, type=int,
                                     nargs="*", default=None)
             else:

@@ -70,7 +70,12 @@ def _img_paths(cfg, phase: str, attr: str) -> str:
 class SynthiaDataset(_Base):
     """SYNTHIA↔Cityscapes: {img,lab,depth}_source + {img,lab}_target."""
 
-    size = (640, 192)  # (w, h)
+    ASPECT = 640 / 192  # reference works at 640×192 (dataset_synthia.py:156)
+
+    @property
+    def size(self):
+        h = self.cfg.fine_size if self.cfg.fine_size != 256 else 192
+        return (int(round(h * self.ASPECT)), h)  # (w, h)
 
     def __init__(self, cfg, phase: str):
         super().__init__(cfg, phase)
@@ -129,7 +134,12 @@ class SynthiaDataset(_Base):
 class KittiDataset(_Base):
     """Unpaired vKITTI (img+depth) → KITTI (img)."""
 
-    size = (640, 192)
+    ASPECT = 640 / 192
+
+    @property
+    def size(self):
+        h = self.cfg.fine_size if self.cfg.fine_size != 256 else 192
+        return (int(round(h * self.ASPECT)), h)
 
     def __init__(self, cfg, phase: str):
         super().__init__(cfg, phase)
@@ -165,9 +175,15 @@ class KittiDataset(_Base):
 
 @register_dataset("try")
 class TryDataset(_Base):
-    """vKITTI→KITTI final-generation loader (S2D / new_multi pipeline)."""
+    """vKITTI→KITTI final-generation loader (S2D / new_multi pipeline).
 
-    size = (576, 192)
+    The working size follows cfg.fine_size with the reference 3:1 aspect
+    (576×192 at the default fine_size=192, try_data.py:166)."""
+
+    @property
+    def size(self):
+        h = self.cfg.fine_size if self.cfg.fine_size != 256 else 192
+        return (h * 3, h)
 
     def __init__(self, cfg, phase: str):
         super().__init__(cfg, phase)

@@ -1,0 +1,211 @@
+"""RefineNet-LW Seg_Depth model (`new_model` track).
+
+TPU-native re-design of reference new_model/mdoel6.py:199-567 (driver
+new_model/train_new.py): ResNetLW-101 with per-domain instance adapters as
+the generator; four ``segd`` heads acting as BOTH seg decoders and domain
+discriminators through ``seg_gan_loss`` —
+
+- **G step** (mdoel6.py:434-541, heads frozen): real + syn branches; every
+  head's ×2-upsampled logits pushed toward the TRUE labels; syn depth =
+  sky-masked 20×L1 on the fused prediction + per-band BCEDepLoss;
+- **DIS step** (mdoel6.py:365-427, G frozen): heads trained to emit the
+  extra 'fake' class (28) on BOTH branches' detached features, one Adam per
+  head (lr/3, lr/2, lr/2, lr/2; G at lr/4 — mdoel6.py:209-222).
+
+All phases compile into one jit step; ×2 upsampling is nearest like the
+reference's ``nn.Upsample(scale_factor=2)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import register_model
+from ..config import Config
+from ..ops import resize_nearest
+from .base_model import BaseModel, ModelState
+from .networks import l1_loss
+from .refinenet import ResNetLW, Segd, seg_gan_loss
+from .s2d_networks import bce_dep_loss, get_masks
+from .s2d import make_adam
+from .seg_network import seg_accuracy
+
+
+def up2(x):
+    n, h, w, c = x.shape
+    return resize_nearest(x, (h * 2, w * 2))
+
+
+@register_model("rf_lw")
+class RefineNetSegDepth(BaseModel):
+    loss_names = ("G", "dep_syn", "adv_g_seg_syn", "adv_g_seg_real",
+                  "adv_d_seg_syn", "adv_d_seg_real", "acc_syn", "acc_real")
+    visual_names = ("syn_img", "real_img", "syn_seg_l", "real_seg_l",
+                    "syn_seg_pre", "real_seg_pre", "syn_dep_l", "syn_dep_pre",
+                    "real_dep_pre")
+    model_names = ("G", "seg8", "seg4", "seg2", "seg2_0")
+    lr_opt_names = ()
+
+    SKY_CLASS = 17
+    N_CLS = 28
+    HEADS = ("seg8", "seg4", "seg2", "seg2_0")
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        dt = cfg.compute_dtype()
+        layers = tuple(cfg.resnet_layers or (3, 4, 23, 3))
+        self.net_G = ResNetLW(layers=layers, dtype=dt)
+        self.net_seg8 = Segd(n_cls=self.N_CLS, up_scale=3, dtype=dt)
+        self.net_seg4 = Segd(n_cls=self.N_CLS, up_scale=2, dtype=dt)
+        self.net_seg2 = Segd(n_cls=self.N_CLS, up_scale=1, dtype=dt)
+        self.net_seg2_0 = Segd(n_cls=self.N_CLS, up_scale=1, dtype=dt)
+        lr, b1 = cfg.lr, cfg.beta1
+        self.opts = {
+            "G": make_adam(lr / 4, b1),
+            "seg8": make_adam(lr / 3, b1),
+            "seg4": make_adam(lr / 2, b1),
+            "seg2": make_adam(lr / 2, b1),
+            "seg2_0": make_adam(lr / 2, b1),
+        }
+
+    def init_state(self, rng: jax.Array) -> ModelState:
+        cfg = self.cfg
+        h, w = cfg.fine_size, cfg.fine_size * 3
+        return self.init_state_at(rng, h, w)
+
+    def init_state_at(self, rng: jax.Array, h: int, w: int) -> ModelState:
+        keys = jax.random.split(rng, 5)
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        vG = self.net_G.init(keys[0], x, "real")
+        _, _, feats = self.net_G.apply(vG, x, "real")
+        vs = {"G": vG}
+        for i, name in enumerate(self.HEADS):
+            vs[name] = getattr(self, f"net_{name}").init(keys[i + 1], feats[i])
+        params = {k: v["params"] for k, v in vs.items()}
+        stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
+        return ModelState(
+            params=params, batch_stats=stats,
+            opt_states={k: self.opts[k].init(params[k]) for k in self.opts},
+            pools={}, step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _heads(self, params, stats, feats, train):
+        outs = []
+        for i, name in enumerate(self.HEADS):
+            o, stats[name] = self._apply(getattr(self, f"net_{name}"),
+                                         params[name], stats[name], feats[i],
+                                         train=train)
+            outs.append(o)
+        return outs, stats
+
+    def _step_train(self, state: ModelState, batch, rng):
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        syn_seg_l, real_seg_l = batch["seg_l_syn"], batch["seg_l_real"]
+        syn_dep_l, syn_dep_ls = batch["dep_l_syn"], batch["depth_l_s"]
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        opt_states = dict(state.opt_states)
+        sky = (syn_seg_l != self.SKY_CLASS).astype(jnp.float32)[..., None]
+        sky4 = jnp.repeat(sky, 4, axis=-1)
+        oms, zms = get_masks(sky4 * syn_dep_ls)
+        metrics: Dict[str, jax.Array] = {}
+
+        # ---- G step (heads frozen) ----
+        def g_loss_fn(gp):
+            s = dict(stats)
+            (r_outs, r_pred, r_feats), s["G"] = self._apply(
+                self.net_G, gp, s["G"], real_img, "real", train=True)
+            r_heads, s = self._heads(params, s, r_feats, False)
+            g_real = sum(seg_gan_loss(up2(h), real_seg_l, True, self.N_CLS)
+                         for h in r_heads)
+            (s_outs, s_pred, s_feats), s["G"] = self._apply(
+                self.net_G, gp, s["G"], syn_img, "syn", train=True)
+            s_heads, s = self._heads(params, s, s_feats, False)
+            g_syn_seg = sum(seg_gan_loss(up2(h), syn_seg_l, True, self.N_CLS)
+                            for h in s_heads)
+            pred_full = up2(s_pred)
+            dep_loss = 20.0 * l1_loss(sky * pred_full, sky * syn_dep_l)
+            for band in s_outs:
+                dep_loss = dep_loss + bce_dep_loss(sky * up2(band),
+                                                   sky4 * syn_dep_ls, oms, zms)
+            total = g_real + g_syn_seg + dep_loss
+            aux = dict(stats=s, dep_loss=dep_loss, g_real=g_real,
+                       g_syn=g_syn_seg,
+                       r_feats=[jax.lax.stop_gradient(f) for f in r_feats],
+                       s_feats=[jax.lax.stop_gradient(f) for f in s_feats],
+                       syn_seg_pre=s_heads[3], real_seg_pre=r_heads[3],
+                       syn_dep_pre=pred_full,
+                       real_dep_pre=up2(r_pred))
+            return total, aux
+
+        (loss_G, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            params["G"])
+        upd, opt_states["G"] = self.opts["G"].update(g_grads, opt_states["G"],
+                                                     params["G"])
+        params["G"] = optax.apply_updates(params["G"], upd)
+        stats = aux["stats"]
+        metrics.update(G=loss_G, dep_syn=aux["dep_loss"],
+                       adv_g_seg_syn=aux["g_syn"], adv_g_seg_real=aux["g_real"])
+        metrics["acc_syn"] = seg_accuracy(up2(aux["syn_seg_pre"]), syn_seg_l, 255)
+        metrics["acc_real"] = seg_accuracy(up2(aux["real_seg_pre"]), real_seg_l,
+                                           255)
+
+        # ---- DIS step: each head toward the fake class on both branches ----
+        adv_d_syn = jnp.zeros(())
+        adv_d_real = jnp.zeros(())
+        for i, name in enumerate(self.HEADS):
+            net = getattr(self, f"net_{name}")
+
+            def d_loss_fn(hp, net=net, i=i, name=name):
+                s = stats[name]
+                r, s = self._apply(net, hp, s, aux["r_feats"][i], train=True)
+                sy, s = self._apply(net, hp, s, aux["s_feats"][i], train=True)
+                lr_ = seg_gan_loss(up2(r), real_seg_l, False, self.N_CLS)
+                ls_ = seg_gan_loss(up2(sy), syn_seg_l, False, self.N_CLS)
+                return lr_ + ls_, (lr_, ls_, s)
+
+            (_, (lr_, ls_, s_h)), h_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params[name])
+            upd, opt_states[name] = self.opts[name].update(
+                h_grads, opt_states[name], params[name])
+            params[name] = optax.apply_updates(params[name], upd)
+            stats[name] = s_h
+            adv_d_real = adv_d_real + lr_
+            adv_d_syn = adv_d_syn + ls_
+        metrics.update(adv_d_seg_syn=adv_d_syn, adv_d_seg_real=adv_d_real)
+
+        return state.replace(params=params, batch_stats=stats,
+                             opt_states=opt_states,
+                             step=state.step + 1), self.metrics_dict(**metrics)
+
+    def _step_eval(self, state: ModelState, batch):
+        params, stats = state.params, state.batch_stats
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        (s_outs, s_pred, s_feats), _ = self._apply(
+            self.net_G, params["G"], stats["G"], syn_img, "syn", train=False)
+        (r_outs, r_pred, r_feats), _ = self._apply(
+            self.net_G, params["G"], stats["G"], real_img, "real", train=False)
+        s_heads, _ = self._heads(params, dict(stats), s_feats, False)
+        r_heads, _ = self._heads(params, dict(stats), r_feats, False)
+        syn_seg_l = batch["seg_l_syn"]
+        sky = (syn_seg_l != self.SKY_CLASS).astype(jnp.float32)[..., None]
+        pred_full = up2(s_pred)
+        metrics = {
+            "dep_syn": 20.0 * l1_loss(sky * pred_full, sky * batch["dep_l_syn"]),
+            "acc_syn": seg_accuracy(up2(s_heads[3]), syn_seg_l, 255),
+        }
+        if "seg_l_real" in batch:
+            metrics["acc_real"] = seg_accuracy(up2(r_heads[3]),
+                                               batch["seg_l_real"], 255)
+        visuals = dict(syn_img=syn_img, real_img=real_img,
+                       syn_seg_l=syn_seg_l, syn_dep_l=batch["dep_l_syn"],
+                       syn_seg_pre=jnp.argmax(up2(s_heads[3]), -1),
+                       real_seg_pre=jnp.argmax(up2(r_heads[3]), -1),
+                       syn_dep_pre=pred_full, real_dep_pre=up2(r_pred))
+        if "seg_l_real" in batch:
+            visuals["real_seg_l"] = batch["seg_l_real"]
+        return self.metrics_dict(**metrics), visuals

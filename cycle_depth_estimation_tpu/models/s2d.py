@@ -1,0 +1,294 @@
+"""S2D (Seg_Depth) — the final `new_multi` domain-adaptation pipeline.
+
+TPU-native re-design of reference new_multi/model5.py:194-697. One jitted
+train step contains the reference's full 4-phase round-robin:
+
+1. **G_2 update** (model5.py:585-638): syn branch G_1(detached)→G_2('S')→R_D
+   (sky-masked depth L1 + seg CE) + real branch G_2('R')→R_D (seg CE ×2);
+   the detached trunk features/psp outputs are CARRIED to later phases, as
+   the reference stores them on ``self``.
+2. **G_1 update** (model5.py:564-583): fresh G_1→G_2→R_D pass, unmasked
+   depth L1 + seg CE (G_2, R_D frozen).
+3. **R_D updates ×2** (model5.py:479-559): (a) real branch — seg CE + 0.2×
+   LSGAN pushing FD1-3 predictions toward *fake* (feature alignment), step;
+   (b) syn branch — sky-masked L1 + per-band BCEDepLoss + seg CE, step again.
+4. **FD1-3 updates** (model5.py:415-474): real feats → True, syn feats →
+   False, on the detached refiner features from phase 3.
+
+Optimizer LR ratios follow model5.py:250-275 (G_1 lr/5, G_2 lr/3, R_D lr/2,
+FDs lr/4). BatchNorm statistics thread through the same forward order the
+reference executes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import register_model
+from ..config import Config
+from .base_model import BaseModel, ModelState
+from .networks import gan_loss, l1_loss
+from .s2d_networks import G1, GeneralNet, RDep, SDiscriminator, bce_dep_loss, get_masks
+from .seg_network import cross_entropy_loss, seg_accuracy
+
+
+def make_adam(lr, beta1):
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=beta1,
+                                                b2=0.999)
+
+
+@register_model("S2D")
+class S2DModel(BaseModel):
+    loss_names = ("G1", "G2", "R_D_real", "R_D_syn", "dep_ref", "seg_syn",
+                  "seg_real", "FD", "acc_syn", "acc_real")
+    visual_names = ("syn_img", "real_img", "syn_seg_l", "syn_dep_l",
+                    "syn_dep_ref", "real_dep_ref", "syn_seg_pre",
+                    "real_seg_pre")
+    model_names = ("G_1", "G_2", "R_D", "FD1", "FD2", "FD3")
+    lr_opt_names = ()
+
+    SKY_CLASS = 17  # model5.py:528-531
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        dt = cfg.compute_dtype()
+        block_config = tuple(cfg.dense_block_config or (6, 12, 32, 32))
+        self.net_G_1 = G1(n_blocks=cfg.g1_blocks, dtype=dt)
+        self.net_G_2 = GeneralNet(block_config=block_config, dtype=dt)
+        self.net_R_D = RDep(dtype=dt)
+        self.net_FD1 = SDiscriminator(dtype=dt)
+        self.net_FD2 = SDiscriminator(dtype=dt)
+        self.net_FD3 = SDiscriminator(dtype=dt)
+        lr, b1 = cfg.lr, cfg.beta1
+        self.opts = {
+            "G_1": make_adam(lr / 5, b1),
+            "G_2": make_adam(lr / 3, b1),
+            "R_D": make_adam(lr / 2, b1),
+            "FD1": make_adam(lr / 4, b1),
+            "FD2": make_adam(lr / 4, b1),
+            "FD3": make_adam(lr / 4, b1),
+        }
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> ModelState:
+        cfg = self.cfg
+        h, w = cfg.fine_size, cfg.fine_size * 3  # try_data is 192×576
+        keys = jax.random.split(rng, 6)
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        vG1 = self.net_G_1.init(keys[0], x)
+        g1_out = self.net_G_1.apply(vG1, x)
+        vG2 = self.net_G_2.init(keys[1], g1_out, "S")
+        psp, feats = self.net_G_2.apply(vG2, g1_out, "S")
+        vRD = self.net_R_D.init(keys[2], feats, psp)
+        (f0, f1, f2), _, _ = self.net_R_D.apply(vRD, feats, psp)
+        vFD1 = self.net_FD1.init(keys[3], f0)
+        vFD2 = self.net_FD2.init(keys[4], f1)
+        vFD3 = self.net_FD3.init(keys[5], f2)
+        vs = dict(G_1=vG1, G_2=vG2, R_D=vRD, FD1=vFD1, FD2=vFD2, FD3=vFD3)
+        params = {k: v["params"] for k, v in vs.items()}
+        stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
+        return ModelState(
+            params=params, batch_stats=stats,
+            opt_states={k: self.opts[k].init(params[k]) for k in self.opts},
+            pools={}, step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _sky(self, seg_l):
+        """1 everywhere except the sky class (model5.py:528-531), NHW1."""
+        return (seg_l != self.SKY_CLASS).astype(jnp.float32)[..., None]
+
+    def _step_train(self, state: ModelState, batch, rng):
+        cfg = self.cfg
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        syn_seg_l = batch["seg_l_syn"]
+        real_seg_l = batch["seg_l_real"]
+        syn_dep_l = batch["dep_l_syn"]
+        syn_dep_ls = batch["depth_l_s"]
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        opt_states = dict(state.opt_states)
+        sky = self._sky(syn_seg_l)
+        sky4 = jnp.repeat(sky, 4, axis=-1)
+        oms, zms = get_masks(sky4 * syn_dep_ls)
+        metrics: Dict[str, jax.Array] = {}
+
+        # ================= phase 1: G_2 =================
+        ss, stats["G_1"] = self._apply(self.net_G_1, params["G_1"], stats["G_1"],
+                                       syn_img, train=True)
+        ss = jax.lax.stop_gradient(ss)
+
+        def g2_loss_fn(g2p):
+            s = stats["G_2"]
+            (syn_psp, syn_feats), s = self._apply(self.net_G_2, g2p, s, ss, "S",
+                                                  train=True)
+            (rf, seg, (dep_4, dep_o)), s_rd = self._apply(
+                self.net_R_D, params["R_D"], stats["R_D"], syn_feats, syn_psp,
+                train=True)
+            dep_loss = l1_loss(dep_o, sky * syn_dep_l)
+            seg_loss_syn = cross_entropy_loss(seg, syn_seg_l, 255)
+            (real_psp, real_feats), s = self._apply(self.net_G_2, g2p, s,
+                                                    real_img, "R", train=True)
+            (_, seg_r, _), s_rd = self._apply(
+                self.net_R_D, params["R_D"], s_rd, real_feats, real_psp,
+                train=True)
+            seg_loss_real = cross_entropy_loss(seg_r, real_seg_l, 255)
+            total = dep_loss + seg_loss_syn + 2.0 * seg_loss_real
+            aux = dict(syn_psp=syn_psp, syn_feats=syn_feats, real_psp=real_psp,
+                       real_feats=real_feats, stats_g2=s, stats_rd=s_rd,
+                       seg_syn=seg_loss_syn, seg_real=seg_loss_real,
+                       syn_seg_pre=seg, real_seg_pre=seg_r)
+            return total, aux
+
+        (loss_G2, aux2), g2_grads = jax.value_and_grad(g2_loss_fn, has_aux=True)(
+            params["G_2"])
+        upd, opt_states["G_2"] = self.opts["G_2"].update(
+            g2_grads, opt_states["G_2"], params["G_2"])
+        params["G_2"] = optax.apply_updates(params["G_2"], upd)
+        stats["G_2"] = aux2["stats_g2"]
+        stats["R_D"] = aux2["stats_rd"]
+        # carried (already stop-gradient by construction)
+        syn_psp = jax.lax.stop_gradient(aux2["syn_psp"])
+        syn_feats = [jax.lax.stop_gradient(f) for f in aux2["syn_feats"]]
+        real_psp = jax.lax.stop_gradient(aux2["real_psp"])
+        real_feats = [jax.lax.stop_gradient(f) for f in aux2["real_feats"]]
+        metrics["G2"] = loss_G2
+        metrics["seg_syn"] = aux2["seg_syn"]
+        metrics["seg_real"] = aux2["seg_real"]
+        metrics["acc_syn"] = seg_accuracy(aux2["syn_seg_pre"], syn_seg_l, 255)
+        metrics["acc_real"] = seg_accuracy(aux2["real_seg_pre"], real_seg_l, 255)
+
+        # ================= phase 2: G_1 =================
+        def g1_loss_fn(g1p):
+            s1 = stats["G_1"]
+            h, s1 = self._apply(self.net_G_1, g1p, s1, syn_img, train=True)
+            (psp, feats), s2 = self._apply(self.net_G_2, params["G_2"],
+                                           stats["G_2"], h, "S", train=True)
+            (_, seg, (_, dep_o)), s_rd = self._apply(
+                self.net_R_D, params["R_D"], stats["R_D"], feats, psp,
+                train=True)
+            loss = (l1_loss(dep_o, syn_dep_l)
+                    + cross_entropy_loss(seg, syn_seg_l, 255))
+            return loss, (s1, s2, s_rd)
+
+        (loss_G1, (s1, s2, s_rd)), g1_grads = jax.value_and_grad(
+            g1_loss_fn, has_aux=True)(params["G_1"])
+        upd, opt_states["G_1"] = self.opts["G_1"].update(
+            g1_grads, opt_states["G_1"], params["G_1"])
+        params["G_1"] = optax.apply_updates(params["G_1"], upd)
+        stats["G_1"], stats["G_2"], stats["R_D"] = s1, s2, s_rd
+        metrics["G1"] = loss_G1
+
+        # ================= phase 3a: R_D real =================
+        def rd_real_loss_fn(rdp):
+            (feats, seg, (dep_4, dep_o)), s_rd = self._apply(
+                self.net_R_D, rdp, stats["R_D"], real_feats, real_psp,
+                train=True)
+            seg_loss = cross_entropy_loss(seg, real_seg_l, 255)
+            p1, _ = self._apply(self.net_FD1, params["FD1"], stats["FD1"],
+                                feats[0], train=False)
+            p2, _ = self._apply(self.net_FD2, params["FD2"], stats["FD2"],
+                                feats[1], train=False)
+            p3, _ = self._apply(self.net_FD3, params["FD3"], stats["FD3"],
+                                feats[2], train=False)
+            loss = seg_loss + 0.2 * (gan_loss(p1, False) + gan_loss(p2, False)
+                                     + gan_loss(p3, False))
+            return loss, (feats, dep_o, s_rd)
+
+        (loss_rd_real, (r_feats, real_dep_o, s_rd)), rd_grads = (
+            jax.value_and_grad(rd_real_loss_fn, has_aux=True)(params["R_D"]))
+        upd, opt_states["R_D"] = self.opts["R_D"].update(
+            rd_grads, opt_states["R_D"], params["R_D"])
+        params["R_D"] = optax.apply_updates(params["R_D"], upd)
+        stats["R_D"] = s_rd
+        real_feats_d = [jax.lax.stop_gradient(f) for f in r_feats]
+        real_dep_ref = jax.lax.stop_gradient(real_dep_o)
+        metrics["R_D_real"] = loss_rd_real
+
+        # ================= phase 3b: R_D syn =================
+        def rd_syn_loss_fn(rdp):
+            (feats, seg, (dep_4, dep_o)), s_rd = self._apply(
+                self.net_R_D, rdp, stats["R_D"], syn_feats, syn_psp, train=True)
+            dep_loss = l1_loss(dep_o, sky * syn_dep_l)
+            for band in dep_4:
+                dep_loss = dep_loss + bce_dep_loss(sky * band,
+                                                   sky4 * syn_dep_ls, oms, zms)
+            seg_loss = cross_entropy_loss(seg, syn_seg_l, 255)
+            return dep_loss + seg_loss, (feats, dep_o, dep_loss, s_rd)
+
+        (loss_rd_syn, (s_feats, syn_dep_o, dep_ref_loss, s_rd)), rd_grads = (
+            jax.value_and_grad(rd_syn_loss_fn, has_aux=True)(params["R_D"]))
+        upd, opt_states["R_D"] = self.opts["R_D"].update(
+            rd_grads, opt_states["R_D"], params["R_D"])
+        params["R_D"] = optax.apply_updates(params["R_D"], upd)
+        stats["R_D"] = s_rd
+        syn_feats_d = [jax.lax.stop_gradient(f) for f in s_feats]
+        metrics["R_D_syn"] = loss_rd_syn
+        metrics["dep_ref"] = dep_ref_loss
+
+        # ================= phase 4: FD1-3 =================
+        fd_total = jnp.zeros(())
+        for i, name in enumerate(("FD1", "FD2", "FD3")):
+            net = getattr(self, f"net_{name}")
+
+            def fd_loss_fn(fdp, net=net, i=i, name=name):
+                pr, s = self._apply(net, fdp, stats[name], real_feats_d[i],
+                                    train=True)
+                pf, s = self._apply(net, fdp, s, syn_feats_d[i], train=True)
+                return gan_loss(pr, True) + gan_loss(pf, False), s
+
+            (fd_loss, s_fd), fd_grads = jax.value_and_grad(
+                fd_loss_fn, has_aux=True)(params[name])
+            upd, opt_states[name] = self.opts[name].update(
+                fd_grads, opt_states[name], params[name])
+            params[name] = optax.apply_updates(params[name], upd)
+            stats[name] = s_fd
+            fd_total = fd_total + fd_loss
+        metrics["FD"] = fd_total
+
+        new_state = state.replace(params=params, batch_stats=stats,
+                                  opt_states=opt_states, step=state.step + 1)
+        return new_state, self.metrics_dict(**metrics)
+
+    # ------------------------------------------------------------------
+    def _forward_eval(self, state: ModelState, batch):
+        params, stats = state.params, state.batch_stats
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        ss, _ = self._apply(self.net_G_1, params["G_1"], stats["G_1"], syn_img,
+                            train=False)
+        (syn_psp, syn_feats), _ = self._apply(self.net_G_2, params["G_2"],
+                                              stats["G_2"], ss, "S", train=False)
+        (_, syn_seg, (syn_dep4, syn_dep_o)), _ = self._apply(
+            self.net_R_D, params["R_D"], stats["R_D"], syn_feats, syn_psp,
+            train=False)
+        (real_psp, real_feats), _ = self._apply(self.net_G_2, params["G_2"],
+                                                stats["G_2"], real_img, "R",
+                                                train=False)
+        (_, real_seg, (_, real_dep_o)), _ = self._apply(
+            self.net_R_D, params["R_D"], stats["R_D"], real_feats, real_psp,
+            train=False)
+        return syn_seg, syn_dep_o, real_seg, real_dep_o
+
+    def _step_eval(self, state: ModelState, batch):
+        syn_seg, syn_dep_o, real_seg, real_dep_o = self._forward_eval(state, batch)
+        syn_seg_l = batch["seg_l_syn"]
+        syn_dep_l = batch["dep_l_syn"]
+        sky = self._sky(syn_seg_l)
+        metrics = {
+            "seg_syn": cross_entropy_loss(syn_seg, syn_seg_l, 255),
+            "dep_ref": l1_loss(syn_dep_o, sky * syn_dep_l),
+            "acc_syn": seg_accuracy(syn_seg, syn_seg_l, 255),
+        }
+        if "seg_l_real" in batch:
+            metrics["seg_real"] = cross_entropy_loss(real_seg, batch["seg_l_real"],
+                                                     255)
+            metrics["acc_real"] = seg_accuracy(real_seg, batch["seg_l_real"], 255)
+        visuals = dict(syn_img=batch["img_syn"], real_img=batch["img_real"],
+                       syn_seg_l=syn_seg_l, syn_dep_l=syn_dep_l,
+                       syn_dep_ref=syn_dep_o, real_dep_ref=real_dep_o,
+                       syn_seg_pre=jnp.argmax(syn_seg, -1),
+                       real_seg_pre=jnp.argmax(real_seg, -1))
+        return self.metrics_dict(**metrics), visuals

@@ -1,0 +1,616 @@
+"""Networks of the final `new_multi` S2D generation (DenseNet seg+depth).
+
+TPU-native re-design of reference new_multi/networks5_ds.py:
+- DenseNet building blocks (_DenseLayer/_DenseBlock/_Transition,
+  networks5_ds.py:122-155) and the DenseNet-169 backbone (157-227);
+- ``G1``: stem + one 6-layer dense block + 3 dual-branch residual blocks
+  (networks5_ds.py:26-66, 290-338);
+- ``GeneralNet`` (G_2): DenseNet-169 trunk whose transitions are
+  ``PspTrans`` side-compressions, a 4-branch dilated PSP head, and dual-mode
+  forward ``'S'`` (skip stem — input is G1 features) / ``'R'`` (full image)
+  returning (psp output, 4 DETACHED skip features) (networks5_ds.py:344-477);
+- ``RDep`` refiner: 3 ``GSide`` attention fusions → ``SegBlock`` (28-class)
+  + ``DepthBlock`` (4 band heads + channel-attention gates + fused depth)
+  (networks5_ds.py:602-821);
+- discriminators: ``SDiscriminator`` (PatchGAN w/ PReLU, 527-566),
+  ``FeatureDiscriminatorS`` (MLP, 569-599), ``StarDiscriminator`` (264-288),
+  ``Discriminator2Seg`` (842-864);
+- legacy decoders ``SEG``/``DEP`` with ``ordimat`` coordinate maps
+  (866-921) and ``DeconvBlock`` (68-87);
+- losses ``bce_dep_loss`` / ``get_masks`` (947-982) with the reference's
+  broadcast semantics.
+
+All NHWC; BatchNorm via `ops.Norm('batch')` with torch momentum/eps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import Conv, ConvTranspose, Norm, avg_pool, reflect_pad, resize_bilinear
+from ..ops.init import make_initializer
+from .seg_network import make_activation
+
+Dtype = Any
+
+kaiming = make_initializer("kaiming")
+normal02 = make_initializer("normal", 0.02)
+
+
+def leaky(x, slope=0.02):
+    return nn.leaky_relu(x, slope)
+
+
+# ---------------------------------------------------------------------------
+# DenseNet
+# ---------------------------------------------------------------------------
+
+
+class DenseLayer(nn.Module):
+    """BN→ReLU→1×1(bn_size·k)→BN→ReLU→3×3(k), concat onto the input."""
+
+    growth_rate: int = 32
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.relu(Norm("batch", name="norm1")(x, train=train))
+        h = Conv(self.bn_size * self.growth_rate, 1, use_bias=False,
+                 kernel_init=kaiming, dtype=self.dtype, name="conv1")(h)
+        h = nn.relu(Norm("batch", name="norm2")(h, train=train))
+        h = Conv(self.growth_rate, 3, padding=1, use_bias=False,
+                 kernel_init=kaiming, dtype=self.dtype, name="conv2")(h)
+        if self.drop_rate > 0:
+            h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    num_layers: int
+    growth_rate: int = 32
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for i in range(self.num_layers):
+            x = DenseLayer(self.growth_rate, self.bn_size, self.drop_rate,
+                           self.dtype, name=f"denselayer{i + 1}")(x, train=train)
+        return x
+
+
+class Transition(nn.Module):
+    """BN→ReLU→1×1 halve→avgpool2 (networks5_ds.py:148-155)."""
+
+    num_output_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.relu(Norm("batch", name="norm")(x, train=train))
+        h = Conv(self.num_output_features, 1, use_bias=False, kernel_init=kaiming,
+                 dtype=self.dtype, name="conv")(h)
+        return avg_pool(h, 2, 2)
+
+
+class DenseNetBackbone(nn.Module):
+    """DenseNet-169-style feature extractor (networks5_ds.py:157-227):
+    stem (no maxpool) + 4 dense blocks with transitions + extra avgpools;
+    returns the 3 deepest block outputs."""
+
+    num_init_features: int = 64
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 32, 32)
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = Conv(self.num_init_features, 7, stride=2, padding=3, use_bias=False,
+                 kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
+        h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+        outputs = []
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            h = DenseBlock(num_layers, self.growth_rate, self.bn_size,
+                           self.drop_rate, self.dtype,
+                           name=f"denseblock{i + 1}")(h, train=train)
+            num_features += num_layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                num_features //= 2
+                h = Transition(num_features, self.dtype,
+                               name=f"transition{i + 1}")(h, train=train)
+                if i >= 1:
+                    outputs.append(h)
+                h = avg_pool(h, 2, 2)
+            else:
+                outputs.append(h)
+        return outputs
+
+
+class DualResnetBlock(nn.Module):
+    """x + conv0(x) + conv1(x): 1×1(dilation 2) branch + reflect-pad 3×3
+    branch (reference ResnetBlock, networks5_ds.py:290-338)."""
+
+    dim: int
+    norm: str = "batch"
+    use_dropout: bool = False
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c0 = Conv(self.dim, 1, dilation=2, use_bias=self.use_bias,
+                  kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
+        c0 = Norm(self.norm, name="norm0")(c0, train=train)
+        if self.use_dropout:
+            c0 = nn.Dropout(0.5, deterministic=not train)(c0)
+        c1 = Conv(self.dim, 3, use_bias=self.use_bias, kernel_init=kaiming,
+                  dtype=self.dtype, name="conv1")(reflect_pad(x, 1))
+        c1 = nn.relu(Norm(self.norm, name="norm1")(c1, train=train))
+        return x + c0 + c1
+
+
+class G1(nn.Module):
+    """G_1 entry net (networks5_ds.py:26-66): stem + 6-layer dense block +
+    3×3 entry conv + n dual-branch residual blocks → ngf-ch @1/2."""
+
+    growth_rate: int = 32
+    block_config: int = 6
+    num_init_features: int = 64
+    bn_size: int = 4
+    ngf: int = 64
+    n_blocks: int = 3
+    norm: str = "batch"
+    use_dropout: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        use_bias = self.norm == "instance"
+        h = Conv(self.num_init_features, 7, stride=2, padding=3, use_bias=False,
+                 kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
+        h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+        h = DenseBlock(self.block_config, self.growth_rate, self.bn_size,
+                       dtype=self.dtype, name="denseblock1")(h, train=train)
+        h = Conv(self.ngf, 3, use_bias=use_bias, kernel_init=kaiming,
+                 dtype=self.dtype, name="entry_conv")(reflect_pad(h, 1))
+        h = nn.relu(Norm(self.norm, name="entry_norm")(h, train=train))
+        for i in range(self.n_blocks):
+            h = DualResnetBlock(self.ngf, norm=self.norm,
+                                use_dropout=self.use_dropout, use_bias=use_bias,
+                                dtype=self.dtype, name=f"block{i}")(h, train=train)
+        return h
+
+
+class PspTrans(nn.Module):
+    """_pspTrans (networks5_ds.py:344-361): BN→ReLU→cat(1×1, 3×3) each /4
+    → half channels, then avgpool2."""
+
+    num_input_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        nout = self.num_input_features // 4
+        h = nn.relu(Norm("batch", name="norm")(x, train=train))
+        a = Conv(nout, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                 name="conv1x1")(h)
+        b = Conv(nout, 3, padding=1, use_bias=False, kernel_init=kaiming,
+                 dtype=self.dtype, name="conv3x3")(h)
+        return avg_pool(jnp.concatenate([a, b], axis=-1), 2, 2)
+
+
+class GeneralNet(nn.Module):
+    """General_net (G_2, networks5_ds.py:366-477).
+
+    ``mode='R'`` runs stem + 4 dense blocks; ``mode='S'`` expects G1 features
+    (64-ch @1/2) and skips the stem. Between blocks, ``PspTrans`` compresses
+    channels and halves resolution. A 4-branch dilated PSP head produces the
+    ``mid_nc`` output. Skip features (each dense block's raw output) are
+    returned **detached** — gradients reach the trunk only through the PSP
+    head, exactly as in the reference (networks5_ds.py:427,459).
+    """
+
+    mid_nc: int = 1024
+    num_init_features: int = 64
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 32, 32)
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mode: str = "R", *, train: bool = False):
+        if mode == "R":
+            h = Conv(self.num_init_features, 7, stride=2, padding=3,
+                     use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                     name="conv0")(x)
+            h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+        else:
+            if self.is_initializing():
+                # trace the stem once so its params exist for 'S'-first inits
+                s = Conv(self.num_init_features, 7, stride=2, padding=3,
+                         use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                         name="conv0")(jnp.zeros_like(x[..., :3]))
+                nn.relu(Norm("batch", name="norm0")(s, train=train))
+            h = x
+        features = []
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            h = DenseBlock(num_layers, self.growth_rate, self.bn_size,
+                           self.drop_rate, self.dtype,
+                           name=f"denseblock{i + 1}")(h, train=train)
+            num_features += num_layers * self.growth_rate
+            features.append(jax.lax.stop_gradient(h))
+            if i != len(self.block_config) - 1:
+                h = PspTrans(num_features, self.dtype,
+                             name=f"psptrans{i}")(h, train=train)
+                num_features //= 2
+        # PSP head (networks5_ds.py:394-409, forward 435-443)
+        q = self.mid_nc // 4
+        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
+        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                  name="psp_b0")(h)
+        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
+                  dtype=self.dtype, name="psp_b1")(h)
+        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
+        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
+        out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+        out = Norm("batch", name="psp_norm_out")(out, train=train)
+        return out, features
+
+
+# ---------------------------------------------------------------------------
+# R_dep refiner
+# ---------------------------------------------------------------------------
+
+
+class GSide(nn.Module):
+    """G_side (networks5_ds.py:623-651): channel-attention (from the deep
+    feature) gates the projected skip feature; sum, compress /2, up ×2."""
+
+    df_c: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, s_feature, d_feature, *, train: bool = False):
+        c = self.df_c
+        # attention: conv s2 → BN → lrelu → global avg pool → sigmoid
+        a = Conv(c, 3, stride=2, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="at_conv")(d_feature)
+        a = leaky(Norm("batch", name="at_norm")(a, train=train))
+        a = jnp.mean(a, axis=(1, 2), keepdims=True)
+        a = nn.sigmoid(a)
+        # side path: 3×3 → lrelu → BN → 1×1 → lrelu → BN
+        s = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="side_conv0")(s_feature)
+        s = Norm("batch", name="side_norm0")(leaky(s), train=train)
+        s = Conv(c, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
+                 name="side_conv1")(s)
+        s = Norm("batch", name="side_norm1")(leaky(s), train=train)
+        out = d_feature + a * s
+        # compress: 3×3 /2ch → lrelu → BN → 1×1 → lrelu → BN → bilinear ×2
+        h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="out_conv0")(out)
+        h = Norm("batch", name="out_norm0")(leaky(h), train=train)
+        h = Conv(c // 2, 1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="out_conv1")(h)
+        h = Norm("batch", name="out_norm1")(leaky(h), train=train)
+        n, hh, ww, cc = h.shape
+        return resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
+
+
+class DepthBlock(nn.Module):
+    """depth_block (networks5_ds.py:655-706): 4 deconv branches with tanh
+    depth heads and channel-attention gates; fusion conv → fused depth."""
+
+    in_c: int = 128
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = self.in_c
+        dep_o, out_f = [], []
+        for i in range(4):
+            f = ConvTranspose(c // 2, 4, stride=2, padding=1, output_padding=0,
+                              use_bias=True, kernel_init=normal02,
+                              dtype=self.dtype, name=f"up{i}_deconv")(x)
+            f = Norm("batch", name=f"up{i}_norm0")(leaky(f), train=train)
+            f = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"up{i}_conv")(f)
+            f = Norm("batch", name=f"up{i}_norm1")(leaky(f), train=train)
+            d = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"depth_out{i}")(f)
+            dep_o.append(jnp.tanh(d))
+            a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
+                     kernel_init=normal02, dtype=self.dtype,
+                     name=f"at{i}_conv0")(x)
+            a = Norm("batch", name=f"at{i}_norm")(leaky(a), train=train)
+            a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
+                     kernel_init=normal02, dtype=self.dtype,
+                     name=f"at{i}_conv1")(a)
+            a = jnp.mean(leaky(a), axis=(1, 2), keepdims=True)
+            out_f.append(nn.sigmoid(a) * f + f)
+        h = jnp.concatenate(out_f, axis=-1)
+        h = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="fuse_conv0")(h)
+        h = Norm("batch", name="fuse_norm0")(leaky(h), train=train)
+        h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="fuse_conv1")(h)
+        h = Norm("batch", name="fuse_norm1")(leaky(h), train=train)
+        d1 = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="dep_conv")(h)
+        d1 = Norm("batch", name="dep_norm")(d1, train=train)
+        return dep_o, d1
+
+
+class SegBlock(nn.Module):
+    """seg_block (networks5_ds.py:708-728): conv→lrelu→BN→1×1→bilinear ×2,
+    then BN + lrelu."""
+
+    in_c: int = 128
+    out_c: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = Conv(self.in_c, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="conv0")(x)
+        h = Norm("batch", name="norm0")(leaky(h), train=train)
+        h = Conv(self.out_c, 1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="conv1")(h)
+        n, hh, ww, c = h.shape
+        h = resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
+        return leaky(Norm("batch", name="norm1")(h, train=train))
+
+
+class RDep(nn.Module):
+    """R_dep (networks5_ds.py:733-821): 3 G_side fusions over the detached
+    trunk features, then seg + depth heads on the 1/2-scale feature.
+
+    Returns ((out0, out1, out2), seg, (dep_4, dep_o)).
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, s_features, d_feature, *, train: bool = False):
+        out0 = GSide(1024, dtype=self.dtype, name="gs0")(
+            s_features[3], d_feature, train=train)
+        out1 = GSide(512, dtype=self.dtype, name="gs1")(
+            s_features[2], out0, train=train)
+        out2 = GSide(256, dtype=self.dtype, name="gs2")(
+            s_features[1], out1, train=train)
+        seg = SegBlock(128, 28, dtype=self.dtype, name="seg_d")(out2, train=train)
+        dep_4, dep_o = DepthBlock(128, dtype=self.dtype, name="dep")(
+            out2, train=train)
+        return (out0, out1, out2), seg, (dep_4, dep_o)
+
+
+# ---------------------------------------------------------------------------
+# discriminators
+# ---------------------------------------------------------------------------
+
+
+class SDiscriminator(nn.Module):
+    """_Discriminator (networks5_ds.py:527-566): PatchGAN whose first/last
+    activations share one PReLU α while each middle layer has its own."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    norm: str = "batch"
+    activation: str = "PReLU"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        act = make_activation(self.activation, self)
+        use_bias = self.norm == "instance"
+
+        def mid_prelu(i, h):
+            alpha = self.param(f"prelu_mid{i}", nn.initializers.constant(0.25),
+                               (1,), jnp.float32).astype(h.dtype)
+            return jnp.where(h >= 0, h, alpha * h)
+
+        h = Conv(self.ndf, 4, stride=2, padding=1, use_bias=use_bias,
+                 kernel_init=normal02, dtype=self.dtype, name="conv0")(x)
+        h = act(h)
+        nf = 1
+        for i in range(1, self.n_layers):
+            nf = min(2 ** i, 8)
+            h = Conv(self.ndf * nf, 4, stride=2, padding=1, use_bias=use_bias,
+                     kernel_init=normal02, dtype=self.dtype, name=f"conv{i}")(h)
+            h = mid_prelu(i, Norm(self.norm, name=f"norm{i}")(h, train=train))
+        nf = min(2 ** self.n_layers, 8)
+        h = Conv(self.ndf * nf, 4, stride=1, padding=1, use_bias=use_bias,
+                 kernel_init=normal02, dtype=self.dtype,
+                 name=f"conv{self.n_layers}")(h)
+        h = act(Norm(self.norm, name=f"norm{self.n_layers}")(h, train=train))
+        return Conv(1, 4, stride=1, padding=1, use_bias=True,
+                    kernel_init=normal02, dtype=self.dtype, name="conv_out")(h)
+
+
+class FeatureDiscriminatorS(nn.Module):
+    """_FeatureDiscriminator with explicit (H, W) size (networks5_ds.py:569-599)."""
+
+    input_nc: int = 512
+    n_layers: int = 2
+    size: Tuple[int, int] = (40, 12)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        def prelu(i, h):
+            alpha = self.param(f"prelu{i}", nn.initializers.constant(0.25), (1,),
+                               jnp.float32).astype(h.dtype)
+            return jnp.where(h >= 0, h, alpha * h)
+
+        n = x.shape[0]
+        h = x.transpose(0, 3, 1, 2).reshape(n, -1)  # torch NCHW flatten order
+        h = prelu(0, nn.Dense(self.input_nc, kernel_init=normal02, name="fc0")(h))
+        for i in range(1, self.n_layers):
+            h = prelu(i, nn.Dense(self.input_nc, kernel_init=normal02,
+                                  name=f"fc{i}")(h))
+        return nn.Dense(1, kernel_init=normal02, name="fc_out")(h)
+
+
+class StarDiscriminator(nn.Module):
+    """Discriminator (networks5_ds.py:264-288): k3-s2 entry, LeakyReLU(0.01)
+    stack, 1×1 head + extra LeakyReLU, squeezed channel."""
+
+    conv_dim: int = 32
+    repeat_num: int = 6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = Conv(self.conv_dim, 3, stride=2, padding=1, use_bias=True,
+                 kernel_init=normal02, dtype=self.dtype, name="conv0")(x)
+        h = nn.leaky_relu(h, 0.01)
+        dim = self.conv_dim
+        for i in range(1, self.repeat_num):
+            dim *= 2
+            h = Conv(dim, 4, stride=2, padding=1, use_bias=True,
+                     kernel_init=normal02, dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.leaky_relu(h, 0.01)
+        h = Conv(1, 1, use_bias=False, kernel_init=normal02, dtype=self.dtype,
+                 name="head")(h)
+        return nn.leaky_relu(h, 0.01)[..., 0]
+
+
+class Discriminator2Seg(nn.Module):
+    """Discriminator2_seg (networks5_ds.py:842-864): 1×1 halving stack +
+    stride-2 head + sigmoid."""
+
+    conv_dim: int = 1024
+    repeat_num: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        dim = self.conv_dim
+        h = x
+        for i in range(self.repeat_num):
+            dim //= 2
+            h = Conv(dim, 1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"conv{i}")(h)
+            h = Norm("batch", name=f"norm{i}")(nn.leaky_relu(h, 0.01), train=train)
+        h = Conv(1, 3, stride=2, padding=1, use_bias=False, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        return nn.sigmoid(h)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# legacy SEG / DEP decoders (my_seg_depth lineage, networks5_ds.py:866-921)
+# ---------------------------------------------------------------------------
+
+
+class DeconvBlock(nn.Module):
+    """DeconvBlock (networks5_ds.py:68-87): LeakyReLU(0.02) → ConvT k4 s2."""
+
+    output_nc: int
+    batch_norm: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = ConvTranspose(self.output_nc, 4, stride=2, padding=1,
+                          output_padding=0, use_bias=True, kernel_init=normal02,
+                          dtype=self.dtype, name="deconv")(nn.leaky_relu(x, 0.02))
+        if self.batch_norm:
+            h = Norm("batch", name="bn")(h, train=train)
+        return h
+
+
+def ordimat(shape) -> jax.Array:
+    """Coordinate-map channels (networks5_ds.py:824-838): (row idx, col idx)
+    as two float channels, NHWC."""
+    n, h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, 1), 2)
+    return jnp.concatenate([rows, cols], axis=-1)
+
+
+class SEG(nn.Module):
+    """SEG decoder (networks5_ds.py:866-890): 4 DeconvBlocks + 1×1 head +
+    BN/LeakyReLU; returns (seg, input features)."""
+
+    n_cls: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        chans = [512, 256, 128, 64]
+        h = x
+        for i, c in enumerate(chans):
+            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(h, train=train)
+        h = Conv(self.n_cls, 1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        h = nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+        return h, x
+
+
+class DEP(nn.Module):
+    """DEP decoder (networks5_ds.py:892-921): DeconvBlocks over features
+    concatenated with ordimat coordinate channels."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        chans = [512, 256, 128, 64]
+        h = x
+        for i, c in enumerate(chans):
+            n, hh, ww, _ = h.shape
+            h = jnp.concatenate([h, ordimat((n, hh, ww)).astype(h.dtype)], -1)
+            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(h, train=train)
+        return Conv(1, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
+                    name="head")(h)
+
+
+# ---------------------------------------------------------------------------
+# losses (networks5_ds.py:926-982)
+# ---------------------------------------------------------------------------
+
+
+def get_masks(target: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """one-mask (target == 1) and zero-mask (target == −1)
+    (networks5_ds.py:973-982)."""
+    o_m = (target == 1.0).astype(target.dtype)
+    z_m = (target == -1.0).astype(target.dtype)
+    return o_m, z_m
+
+
+def _bce(p: jax.Array, t: jax.Array) -> jax.Array:
+    """torch BCELoss semantics: mean, log clamped at −100."""
+    p = p.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    logp = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
+    log1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
+    return -jnp.mean(t * logp + (1.0 - t) * log1p)
+
+
+def bce_dep_loss(pred: jax.Array, target: jax.Array, o_m: jax.Array,
+                 z_m: jax.Array) -> jax.Array:
+    """BCEDepLoss (networks5_ds.py:947-956): BCE on the ±1 saturation masks
+    plus 50×L1. ``pred`` may be 1-channel against a 4-channel target — the
+    mask multiplication broadcasts both sides, exactly like the reference's
+    accidental-but-load-bearing broadcast.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    bce1 = _bce((pred + 1) / 2 * o_m, (target + 1) / 2 * o_m)
+    bce0 = _bce((pred + 1) / 2 * z_m, (target + 1) / 2 * z_m)
+    l1 = jnp.mean(jnp.abs(jnp.broadcast_arrays(pred, target)[0] - target))
+    return bce1 + bce0 + 50.0 * l1

@@ -163,3 +163,60 @@ def import_unet_generator(sd: Mapping[str, np.ndarray], num_downs: int = 8,
     if batch:
         out["batch_stats"] = batch_stats
     return out
+
+
+def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove the DataParallel ``module.`` prefix (reference saves wrapped
+    nets, e.g. new_multi/model5.py:212)."""
+    return {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+
+def _bn(sd: Mapping[str, np.ndarray], prefix: str):
+    p = {"norm": {"scale": _np(sd[prefix + ".weight"]),
+                  "bias": _np(sd[prefix + ".bias"])}}
+    s = {"norm": {"mean": _np(sd[prefix + ".running_mean"]),
+                  "var": _np(sd[prefix + ".running_var"])}}
+    return p, s
+
+
+def _dense_block(sd: Mapping[str, np.ndarray], prefix: str, num_layers: int):
+    """Map a torch _DenseBlock onto our DenseBlock params/stats."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(1, num_layers + 1):
+        lp: Dict[str, Any] = {}
+        ls: Dict[str, Any] = {}
+        base = f"{prefix}.denselayer{i}"
+        lp["norm1"], ls["norm1"] = _bn(sd, f"{base}.norm1")
+        lp["conv1"] = _conv_entry(sd, f"{base}.conv1")
+        lp["norm2"], ls["norm2"] = _bn(sd, f"{base}.norm2")
+        lp["conv2"] = _conv_entry(sd, f"{base}.conv2")
+        params[f"denselayer{i}"] = lp
+        stats[f"denselayer{i}"] = ls
+    return params, stats
+
+
+def import_g1(sd: Mapping[str, np.ndarray], n_blocks: int = 3,
+              block_config: int = 6) -> Dict[str, Any]:
+    """Import a reference G_1 checkpoint (new_multi/networks5_ds.py:26-66;
+    e.g. the checked-in new_multi/checkpoints/iter_4000_net_G_1.pth) into our
+    `models.s2d_networks.G1` variables ({params, batch_stats})."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "features.conv0")
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    params["denseblock1"], stats["denseblock1"] = _dense_block(
+        sd, "features.denseblock1", block_config)
+    params["entry_conv"] = _conv_entry(sd, "model.1")
+    params["entry_norm"], stats["entry_norm"] = _bn(sd, "model.2")
+    for i in range(n_blocks):
+        base = f"model.{4 + i}"
+        bp: Dict[str, Any] = {"conv0": _conv_entry(sd, f"{base}.conv0_block.1"),
+                              "conv1": _conv_entry(sd, f"{base}.conv1_block.1")}
+        bs: Dict[str, Any] = {}
+        bp["norm0"], bs["norm0"] = _bn(sd, f"{base}.conv0_block.2")
+        bp["norm1"], bs["norm1"] = _bn(sd, f"{base}.conv1_block.2")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+    return {"params": params, "batch_stats": stats}

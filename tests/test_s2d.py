@@ -1,0 +1,270 @@
+"""S2D (new_multi) pipeline tests.
+
+Highlights: G1 numerical parity against the REAL checked-in reference
+checkpoint (new_multi/checkpoints/iter_4000_net_G_1.pth) loaded into a
+torch oracle built with reference naming, plus chain shapes and the full
+4-phase jitted train step on a reduced DenseNet config.
+"""
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+from cycle_depth_estimation_tpu.models import create_model
+from cycle_depth_estimation_tpu.models.s2d_networks import (
+    DEP,
+    SEG,
+    Discriminator2Seg,
+    G1,
+    GeneralNet,
+    RDep,
+    SDiscriminator,
+    StarDiscriminator,
+    bce_dep_loss,
+    get_masks,
+)
+from cycle_depth_estimation_tpu.utils.torch_import import import_g1, load_pth
+
+RNG = np.random.RandomState(11)
+G1_PTH = "/root/reference/new_multi/checkpoints/iter_4000_net_G_1.pth"
+
+
+# ---------------------------------------------------------------------------
+# torch G_1 oracle with reference state-dict naming
+# ---------------------------------------------------------------------------
+
+def build_torch_g1(ngf=64, n_blocks=3):
+    class DenseLayer(tnn.Sequential):
+        def __init__(self, nin, growth, bn_size):
+            super().__init__()
+            self.add_module("norm1", tnn.BatchNorm2d(nin))
+            self.add_module("relu1", tnn.ReLU(inplace=True))
+            self.add_module("conv1", tnn.Conv2d(nin, bn_size * growth, 1, bias=False))
+            self.add_module("norm2", tnn.BatchNorm2d(bn_size * growth))
+            self.add_module("relu2", tnn.ReLU(inplace=True))
+            self.add_module("conv2", tnn.Conv2d(bn_size * growth, growth, 3,
+                                                padding=1, bias=False))
+
+        def forward(self, x):
+            return torch.cat([x, super().forward(x)], 1)
+
+    class Block(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.conv0_block = tnn.Sequential(
+                tnn.ReflectionPad2d(0), tnn.Conv2d(d, d, 1, dilation=2, bias=False),
+                tnn.BatchNorm2d(d))
+            self.conv1_block = tnn.Sequential(
+                tnn.ReflectionPad2d(1), tnn.Conv2d(d, d, 3, bias=False),
+                tnn.BatchNorm2d(d), tnn.ReLU(False))
+
+        def forward(self, x):
+            return x + self.conv0_block(x) + self.conv1_block(x)
+
+    net = tnn.Module()
+    feats = tnn.Sequential(OrderedDict([
+        ("conv0", tnn.Conv2d(3, 64, 7, 2, 3, bias=False)),
+        ("norm0", tnn.BatchNorm2d(64)),
+        ("relu0", tnn.ReLU(inplace=False)),
+    ]))
+    db = tnn.Sequential()
+    nf = 64
+    for i in range(6):
+        db.add_module(f"denselayer{i + 1}", DenseLayer(nf, 32, 4))
+        nf += 32
+    feats.add_module("denseblock1", db)
+    net.features = feats
+    layers = [tnn.ReflectionPad2d(1), tnn.Conv2d(nf, ngf, 3, bias=False),
+              tnn.BatchNorm2d(ngf), tnn.ReLU(False)]
+    layers += [Block(ngf) for _ in range(n_blocks)]
+    net.model = tnn.Sequential(*layers)
+    net.forward = lambda x: net.model(net.features(x))
+    return net
+
+
+@pytest.mark.skipif(not os.path.exists(G1_PTH), reason="reference ckpt absent")
+def test_g1_parity_vs_reference_checkpoint():
+    sd = torch.load(G1_PTH, map_location="cpu")
+    sd = {k[7:]: v for k, v in sd.items()}  # strip DataParallel prefix
+    tg = build_torch_g1()
+    tg.load_state_dict(sd)
+    tg.eval()
+    x = RNG.randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    variables = import_g1(load_pth(G1_PTH))
+    g = G1()
+    out = g.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x),
+                  train=False)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# chain shapes (reduced config)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def s2d_chain():
+    h, w = 48, 96
+    g1 = G1(n_blocks=1)
+    g2 = GeneralNet(block_config=(2, 2, 2, 2))
+    rd = RDep()
+    x = jnp.zeros((1, h, w, 3))
+    vg1 = g1.init(jax.random.key(0), x)
+    y = g1.apply(vg1, x)
+    vg2 = g2.init(jax.random.key(1), y, "S")
+    psp, feats = g2.apply(vg2, y, "S")
+    vrd = rd.init(jax.random.key(2), feats, psp)
+    return g1, g2, rd, vg1, vg2, vrd, x, y, psp, feats
+
+
+def test_g2_modes_and_feature_pyramid(s2d_chain):
+    g1, g2, rd, vg1, vg2, vrd, x, y, psp, feats = s2d_chain
+    h, w = x.shape[1:3]
+    assert y.shape == (1, h // 2, w // 2, 64)
+    assert psp.shape == (1, h // 16, w // 16, 1024)
+    # skip features: db1 @1/2, db2 @1/4, db3 @1/8, db4 @1/16
+    assert [f.shape[1] for f in feats] == [h // 2, h // 4, h // 8, h // 16]
+    # 'R' mode consumes the raw image through the stem
+    psp_r, feats_r = g2.apply(vg2, x, "R")
+    assert psp_r.shape == psp.shape
+    # trunk features are detached
+    grads = jax.grad(
+        lambda v: sum(jnp.sum(f) for f in g2.apply(v, y, "S")[1]))(vg2)
+    assert all(float(jnp.abs(g).max()) == 0.0
+               for g in jax.tree.leaves(grads["params"]))
+
+
+def test_rdep_outputs(s2d_chain):
+    g1, g2, rd, vg1, vg2, vrd, x, y, psp, feats = s2d_chain
+    h, w = x.shape[1:3]
+    (o0, o1, o2), seg, (dep4, dep_o) = rd.apply(vrd, feats, psp)
+    assert o0.shape == (1, h // 8, w // 8, 512)
+    assert o1.shape == (1, h // 4, w // 4, 256)
+    assert o2.shape == (1, h // 2, w // 2, 128)
+    assert seg.shape == (1, h, w, 28)
+    assert dep_o.shape == (1, h, w, 1)
+    assert len(dep4) == 4 and dep4[0].shape == (1, h, w, 1)
+    assert float(jnp.abs(dep4[0]).max()) <= 1.0  # tanh band heads
+
+
+def test_s2d_discriminators():
+    x = jnp.zeros((1, 24, 48, 512))
+    d = SDiscriminator()
+    v = d.init(jax.random.key(0), x)
+    assert d.apply(v, x).shape[-1] == 1
+    sd = StarDiscriminator(repeat_num=3)
+    vs = sd.init(jax.random.key(1), jnp.zeros((1, 64, 64, 2)))
+    assert sd.apply(vs, jnp.zeros((1, 64, 64, 2))).ndim == 3  # squeezed
+    d2 = Discriminator2Seg(conv_dim=512, repeat_num=2)
+    vd2 = d2.init(jax.random.key(2), jnp.zeros((1, 8, 8, 512)))
+    out = d2.apply(vd2, jnp.zeros((1, 8, 8, 512)))
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_legacy_seg_dep_decoders():
+    x = jnp.zeros((1, 4, 8, 1024))
+    seg = SEG(n_cls=28)
+    v = seg.init(jax.random.key(0), x)
+    s, f = seg.apply(v, x)
+    assert s.shape == (1, 64, 128, 28)
+    dep = DEP()
+    vd = dep.init(jax.random.key(1), x)
+    assert dep.apply(vd, x).shape == (1, 64, 128, 1)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def test_bce_dep_loss_matches_torch():
+    pred = np.tanh(RNG.randn(1, 8, 8, 1)).astype(np.float32)
+    target = np.sign(RNG.randn(1, 8, 8, 4)).astype(np.float32)
+    o_m, z_m = get_masks(jnp.asarray(target))
+    ours = bce_dep_loss(jnp.asarray(pred), jnp.asarray(target), o_m, z_m)
+    # torch oracle (reference networks5_ds.py:947-956 semantics)
+    tp = torch.from_numpy(pred.transpose(0, 3, 1, 2))
+    tt = torch.from_numpy(target.transpose(0, 3, 1, 2))
+    tom = tt.clone()
+    tom[tom != 1] = 0
+    tzm = tt.clone()
+    tzm[tzm != -1] = 0
+    tzm[tzm == -1] = 1
+    ref = (tF.binary_cross_entropy((tp + 1) / 2 * tom, (tt + 1) / 2 * tom)
+           + tF.binary_cross_entropy((tp + 1) / 2 * tzm, (tt + 1) / 2 * tzm)
+           + 50 * tF.l1_loss(tp.expand_as(tt), tt))
+    assert np.isclose(float(ours), ref.item(), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full train step (reduced config)
+# ---------------------------------------------------------------------------
+
+def test_s2d_train_step():
+    cfg = apply_model_defaults(Config(model="S2D", batch_size=1,
+                                      dense_block_config=[2, 2, 2, 2],
+                                      g1_blocks=1))
+    model = create_model(cfg)
+    # both dims must be >= 192 so the 1/8-scale features survive FD1's
+    # four stride-2/1 k4 convs (the reference works at 192x576)
+    h, w = 192, 192
+
+    # build state at the test resolution by initializing manually
+    state = _init_at(model, h, w)
+    batch = {
+        "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+        "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
+    }
+    state1, metrics = model.train_step(state, batch, jax.random.key(1))
+    assert set(metrics) == set(model.loss_names)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    for net in model.model_names:
+        l0 = jax.tree.leaves(state.params[net])
+        l1 = jax.tree.leaves(state1.params[net])
+        assert any(not np.allclose(a, b) for a, b in zip(l0, l1)), net
+    # eval
+    m, visuals = model.eval_step(state1, batch)
+    assert visuals["syn_dep_ref"].shape == (1, h, w, 1)
+    assert visuals["syn_seg_pre"].shape == (1, h, w)
+
+
+def _init_at(model, h, w):
+    import jax
+
+    from cycle_depth_estimation_tpu.models.base_model import ModelState
+
+    keys = jax.random.split(jax.random.key(0), 6)
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    vG1 = model.net_G_1.init(keys[0], x)
+    g1_out = model.net_G_1.apply(vG1, x)
+    vG2 = model.net_G_2.init(keys[1], g1_out, "S")
+    psp, feats = model.net_G_2.apply(vG2, g1_out, "S")
+    vRD = model.net_R_D.init(keys[2], feats, psp)
+    (f0, f1, f2), _, _ = model.net_R_D.apply(vRD, feats, psp)
+    vFD1 = model.net_FD1.init(keys[3], f0)
+    vFD2 = model.net_FD2.init(keys[4], f1)
+    vFD3 = model.net_FD3.init(keys[5], f2)
+    vs = dict(G_1=vG1, G_2=vG2, R_D=vRD, FD1=vFD1, FD2=vFD2, FD3=vFD3)
+    params = {k: v["params"] for k, v in vs.items()}
+    stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
+    return ModelState(
+        params=params, batch_stats=stats,
+        opt_states={k: model.opts[k].init(params[k]) for k in model.opts},
+        pools={}, step=jnp.zeros((), jnp.int32))

@@ -1,0 +1,94 @@
+"""Tests for the prep/eval tools and the KITTI metric harness."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cycle_depth_estimation_tpu.utils.metrics import (
+    compute_errors,
+    eval_depth_dirs,
+    eval_depth_pair,
+    miou,
+    pixel_accuracy,
+)
+from tools.combine_a_and_b import combine
+from tools.split_dataset import split
+
+RNG = np.random.RandomState(3)
+
+
+def _write(d, names, size=(20, 16), mode="RGB"):
+    os.makedirs(d, exist_ok=True)
+    for n in names:
+        if mode == "RGB":
+            arr = RNG.randint(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+        else:
+            arr = RNG.randint(0, 60, (size[1], size[0]), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, n))
+
+
+def test_combine_a_and_b(tmp_path):
+    a, b, ab = str(tmp_path / "A"), str(tmp_path / "B"), str(tmp_path / "AB")
+    names = [f"x{i}.png" for i in range(3)]
+    _write(os.path.join(a, "train"), names)
+    _write(os.path.join(b, "train"), names)
+    n = combine(a, b, ab)
+    assert n == 3
+    im = Image.open(os.path.join(ab, "train", "x0.png"))
+    assert im.size == (40, 16)  # doubled width
+
+
+def test_split_dataset(tmp_path):
+    dirs = [str(tmp_path / x) for x in ("rgb", "dep")]
+    outs = [str(tmp_path / (x + "_test")) for x in ("rgb", "dep")]
+    names = [f"f{i}.png" for i in range(10)]
+    for d in dirs:
+        _write(d, names)
+    moved = split(dirs, outs, count=4, seed=1)
+    assert len(moved) == 4
+    for o in outs:
+        assert sorted(os.listdir(o)) == sorted(moved)
+    assert len(os.listdir(dirs[0])) == 6
+
+
+def test_compute_errors_perfect_prediction():
+    # pred is renormalized onto [1, 50]; any affine transform of a gt that
+    # spans exactly [1, 50] renormalizes back onto gt → perfect metrics
+    gt = np.linspace(1, 50, 100)
+    abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = compute_errors(
+        gt, gt * 0.3 + 2.0)
+    assert abs_rel < 1e-6 and rmse < 1e-4
+    assert a1 == a2 == a3 == 1.0
+
+
+def test_eval_depth_pair_masks():
+    gt = np.zeros((10, 10))
+    gt[2:8, 2:8] = 25.0  # valid band (1, 50)
+    pred = np.full((10, 10), 128, dtype=np.uint8)  # → 40.2 m, clipped [1,50]
+    m = eval_depth_pair(gt, pred)
+    assert m is not None and np.isfinite(m["abs_rel"])
+    assert eval_depth_pair(np.zeros((4, 4)), pred[:4, :4]) is None
+
+
+def test_eval_depth_dirs(tmp_path):
+    gt_d, pr_d = str(tmp_path / "gt"), str(tmp_path / "pred")
+    os.makedirs(gt_d), os.makedirs(pr_d)
+    for i in range(3):
+        gt = RNG.randint(2, 49, (16, 20)).astype(np.uint8)
+        Image.fromarray(gt).save(os.path.join(gt_d, f"d{i}.png"))
+        Image.fromarray(RNG.randint(0, 255, (16, 20), dtype=np.uint8)).save(
+            os.path.join(pr_d, f"d{i}.png"))
+    m = eval_depth_dirs(gt_d, pr_d)
+    assert set(m) == {"abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"}
+    assert all(np.isfinite(v) for v in m.values())
+
+
+def test_seg_metrics():
+    pred = np.array([[0, 1], [2, 2]])
+    label = np.array([[0, 1], [2, 255]])
+    assert pixel_accuracy(pred, label) == 1.0
+    assert miou(pred, label, 3) == 1.0
+    pred2 = np.array([[1, 1], [2, 2]])
+    assert pixel_accuracy(pred2, label) == pytest.approx(2 / 3)

@@ -11,6 +11,7 @@ JSONL/HTML logging, in-loop eval, checkpoint saves → per-epoch LR policy step.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -81,6 +82,12 @@ def main(argv=None):
                 print(f"saving the latest model (epoch {epoch}, "
                       f"total_steps {total_steps})")
                 model.save_networks(state, "latest")
+
+            # periodic KITTI depth validation → records.txt (mirrors the
+            # reference per-1000-iter harness, new_multi/train5.py:85-115)
+            if (cfg.kitti_gt_dir and loader_test is not None
+                    and total_steps % cfg.eval_freq < cfg.batch_size):
+                _kitti_validate(cfg, model, state, epoch, total_steps)
             iter_start = time.time()
 
         # ---- in-loop validation (reference train.py:33-49) ----
@@ -111,6 +118,28 @@ def main(argv=None):
         visualizer.save_html(epoch)
         state = model.update_learning_rate(state, epoch)
     return state
+
+
+def _kitti_validate(cfg, model, state, epoch, total_steps):
+    """Write test-split refined depths + run the KITTI metric suite and
+    append a records line (reference new_multi/train5.py:85-115,113-114)."""
+    import json
+
+    from cycle_depth_estimation_tpu.utils.metrics import eval_depth_dirs
+    from tools.save_kitti import save_depth_maps
+
+    pred_dir = os.path.join(cfg.expr_dir(), "pred")
+    try:
+        save_depth_maps(cfg, pred_dir, max_items=cfg.num_test,
+                        model=model, state=state)
+        metrics = eval_depth_dirs(cfg.kitti_gt_dir, pred_dir)
+    except Exception as exc:  # keep training alive if the val split is broken
+        print(f"[kitti eval] skipped: {exc}")
+        return
+    line = json.dumps({"epoch": epoch, "iters": total_steps, **metrics})
+    print("[kitti eval]", line)
+    with open(os.path.join(cfg.expr_dir(), cfg.records_file), "a") as fh:
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":
