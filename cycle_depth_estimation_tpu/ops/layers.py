@@ -82,6 +82,7 @@ class Conv(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     kernel_init: Callable = make_initializer("normal", 0.02)
     bias_init: Callable = zeros
+    padding_mode: str = "zeros"  # 'zeros' | 'reflect'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -96,6 +97,25 @@ class Conv(nn.Module):
             (kh, kw, in_ch // self.feature_group_count, self.features),
             jnp.float32,
         )
+        if self.padding_mode == "reflect":
+            dtype = self.dtype or x.dtype
+            if ((kh, kw) == (3, 3) and (sh, sw) == (1, 1)
+                    and (dh, dw) == (1, 1) and self.padding == 1
+                    and self.feature_group_count == 1):
+                y = conv3x3_reflect(x, kernel, dtype=dtype)
+            else:
+                xp = reflect_pad(x, self.padding)
+                y = lax.conv_general_dilated(
+                    xp.astype(dtype), kernel.astype(dtype), (sh, sw),
+                    ((0, 0), (0, 0)), rhs_dilation=(dh, dw),
+                    dimension_numbers=DIMENSION_NUMBERS,
+                    feature_group_count=self.feature_group_count,
+                    preferred_element_type=jnp.float32).astype(dtype)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  jnp.float32)
+                y = y + bias
+            return y.astype(dtype)
         if isinstance(self.padding, int):
             pad = ((self.padding, self.padding), (self.padding, self.padding))
         elif isinstance(self.padding, (tuple, list)) and isinstance(self.padding[0], int):
@@ -138,6 +158,7 @@ class ConvTranspose(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = make_initializer("normal", 0.02)
     bias_init: Callable = zeros
+    impl: str = "dilated"  # 'dilated' | 'phases' (see perf note below)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -151,21 +172,144 @@ class ConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
         )
-        pad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=pad,
-            lhs_dilation=(sh, sw),
-            dimension_numbers=DIMENSION_NUMBERS,
-            preferred_element_type=jnp.float32,
-        )
+        y = None
+        if (self.impl == "phases" and (sh, sw) == (2, 2)
+                and _phases_are_uniform(kh, ph) and _phases_are_uniform(kw, pw)):
+            # Phase (subpixel) decomposition — exact math, covered by the
+            # torch-parity tests. Perf note (v5e, 9-block generator @256²):
+            # an ISOLATED lhs-dilated conv runs at ~14 TFLOPs vs ~90 for the
+            # phase convs, but inside a jitted graph XLA rewrites the dilated
+            # form well and the end-to-end generator is FASTER with 'dilated'
+            # (853 vs 706 img/s) — hence the default.
+            y = _conv_transpose_s2_phases(
+                x.astype(dtype), kernel.astype(dtype), (kh, kw), (ph, pw),
+                (oph, opw))
+        if y is None:
+            pad = ((kh - 1 - ph, kh - 1 - ph + oph),
+                   (kw - 1 - pw, kw - 1 - pw + opw))
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=pad,
+                lhs_dilation=(sh, sw),
+                dimension_numbers=DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias
         return y.astype(dtype)
+
+
+def conv3x3_reflect(x: jax.Array, kernel: jax.Array,
+                    dtype=None) -> jax.Array:
+    """3×3 conv with 1-px reflection padding, without materializing the
+    padded activation.
+
+    ``reflect_pad(x, 1)`` copies the whole activation before every conv —
+    ~10% of generator time on v5e. Instead: a zero-padded SAME conv (XLA
+    folds the zero padding into the conv) plus four border corrections that
+    add the missing reflected-tap contributions:
+
+    - top/bottom rows: 1×3 convs over rows 1 / H−2, themselves reflect-padded
+      along W (covers the reflected corners);
+    - left/right cols: 3×1 convs over cols 1 / W−2, zero-padded along H so
+      the corner taps aren't double-counted.
+
+    Exact vs pad+conv (tests/test_torch_parity.py).
+    """
+    dtype = dtype or x.dtype
+    x = x.astype(dtype)
+    k = kernel.astype(dtype)
+    main = lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32).astype(dtype)
+    h, w = x.shape[1], x.shape[2]
+
+    def run(patch, sub, pad_w=None, pad_h=None):
+        if pad_w is not None:
+            patch = jnp.pad(patch, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                            mode=pad_w)
+        if pad_h is not None:
+            patch = jnp.pad(patch, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                            mode=pad_h)
+        return lax.conv_general_dilated(
+            patch, sub, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    top = run(x[:, 1:2], k[0:1], pad_w="reflect")
+    bot = run(x[:, h - 2:h - 1], k[2:3], pad_w="reflect")
+    left = run(x[:, :, 1:2], k[:, 0:1], pad_h="constant")
+    right = run(x[:, :, w - 2:w - 1], k[:, 2:3], pad_h="constant")
+    main = main.at[:, 0:1].add(top).at[:, h - 1:h].add(bot)
+    main = main.at[:, :, 0:1].add(left).at[:, :, w - 1:w].add(right)
+    return main
+
+
+def _phase_taps(k: int, pad_lo: int, d: int):
+    """Kernel tap indices and conv padding for output phase ``d`` of a
+    stride-2 transposed conv expressed as a dense conv over the input.
+
+    out[2i+d] = Σ_{h ∈ taps} K[h] · x[i + (d − pad_lo + h)//2]; taps are the
+    h with (d − pad_lo + h) even. Returns (h_start, n_taps, (pad_l, pad_r)).
+    """
+    taps = [h for h in range(k) if (d - pad_lo + h) % 2 == 0]
+    offsets = [(d - pad_lo + h) // 2 for h in taps]
+    o_min, o_max = offsets[0], offsets[-1]
+    return taps[0], len(taps), (max(0, -o_min), max(0, o_max))
+
+
+def _phases_are_uniform(k: int, p: int) -> bool:
+    """True when every stride-2 output phase maps to a same-length dense conv
+    (offset ranges straddle 0) — holds for all paddings used in this
+    codebase (k3/p1, k4/p1); exotic paddings fall back to the dilated path."""
+    pad_lo = k - 1 - p
+    for d in range(2):
+        taps = [h for h in range(k) if (d - pad_lo + h) % 2 == 0]
+        if not taps:
+            return False
+        offs = [(d - pad_lo + h) // 2 for h in taps]
+        if offs[0] > 0 or offs[-1] < 0:
+            return False
+    return True
+
+
+def _conv_transpose_s2_phases(x: jax.Array, kernel: jax.Array,
+                              k: Tuple[int, int], p: Tuple[int, int],
+                              op: Tuple[int, int]) -> jax.Array:
+    """Exact stride-2 ConvTranspose2d via 4 per-phase dense convs + interleave."""
+    kh, kw = k
+    pads_h = kh - 1 - p[0]
+    pads_w = kw - 1 - p[1]
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    out_h = (h - 1) * 2 - 2 * p[0] + kh + op[0]
+    out_w = (w - 1) * 2 - 2 * p[1] + kw + op[1]
+    phases = []
+    for dh in range(2):
+        h0, nth, (plh, prh) = _phase_taps(kh, pads_h, dh)
+        row = []
+        for dw in range(2):
+            w0, ntw, (plw, prw) = _phase_taps(kw, pads_w, dw)
+            sub = kernel[h0::2][:nth, w0::2][:, :ntw]
+            y = lax.conv_general_dilated(
+                x, sub, window_strides=(1, 1),
+                padding=((plh, prh), (plw, prw)),
+                dimension_numbers=DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            row.append(y)
+        phases.append(row)
+    # interleave: out[2i+dh, 2j+dw] = phases[dh][dw][i, j]
+    ph = jnp.stack([jnp.stack(r, axis=3) for r in phases], axis=2)
+    # ph: (n, H, 2, W, 2, C) → (n, 2H, 2W, C)
+    hh = ph.shape[1]
+    ww = ph.shape[3]
+    out = ph.reshape(n, hh * 2, ww * 2, cout)
+    return out[:, :out_h, :out_w]
 
 
 class InstanceNorm(nn.Module):
@@ -174,17 +318,25 @@ class InstanceNorm(nn.Module):
     affine: bool = False
     eps: float = 1e-5
 
+    use_pallas: Optional[bool] = None  # None → auto (TPU + no affine)
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if not self.affine:
+            from .pallas.instance_norm import instance_norm
+
+            return instance_norm(x, eps=self.eps, use_pallas=self.use_pallas)
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
+        # one-pass statistics (E[x²] − E[x]²): a single fused read of x for
+        # both moments — measurably faster on TPU than the two-pass form
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+        var = mean2 - mean * mean
         y = (xf - mean) * lax.rsqrt(var + self.eps)
-        if self.affine:
-            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-            y = y * scale + bias
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        y = y * scale + bias
         return y.astype(orig_dtype)
 
 

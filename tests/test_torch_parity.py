@@ -118,3 +118,29 @@ def test_resize_nearest_matches_torch():
     ref = F.interpolate(nchw(x), size=(10, 12), mode="nearest")
     out = resize_nearest(jnp.asarray(x), (10, 12))
     np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("k,s,p,op", [(3, 2, 1, 1), (4, 2, 1, 0)])
+def test_conv_transpose_phase_impl_matches_torch(k, s, p, op):
+    """The opt-in phase (subpixel) decomposition is exact too."""
+    x = rand(2, 9, 7, 6)
+    w = rand(6, 4, k, k)
+    b = rand(4)
+    ref = F.conv_transpose2d(nchw(x), torch.from_numpy(w), torch.from_numpy(b),
+                             stride=s, padding=p, output_padding=op)
+    mod = ConvTranspose(4, k, stride=s, padding=p, output_padding=op,
+                        impl="phases")
+    params = {"params": {"kernel": convert_convT_weight(w), "bias": b}}
+    out = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_conv3x3_reflect_fused_matches_pad_conv():
+    from cycle_depth_estimation_tpu.ops.layers import conv3x3_reflect
+
+    x = rand(2, 9, 13, 5)
+    w = rand(4, 5, 3, 3)
+    ref = F.conv2d(torch.nn.ReflectionPad2d(1)(nchw(x)), torch.from_numpy(w))
+    out = conv3x3_reflect(jnp.asarray(x), jnp.asarray(convert_conv_weight(w)))
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5,
+                               rtol=1e-5)
