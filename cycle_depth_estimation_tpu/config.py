@@ -124,6 +124,11 @@ class Config:
     kitti_gt_dir: str = ""          # depth_selection groundtruth_depth dir
     records_file: str = "records.txt"
 
+    # ---- profiling (SURVEY.md §5: replaces wall-clock-only timing) ----
+    profile_dir: str = ""           # write a jax.profiler trace here
+    profile_start: int = 10         # first step to capture
+    profile_steps: int = 5          # number of steps to capture
+
     # ---- TPU-native additions ----
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
     seed: int = 0
@@ -156,6 +161,7 @@ MODEL_DEFAULTS = {
     "seg_cycle": dict(no_dropout=True, dataset_mode="synthia"),
     "S2D": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),
 }
 
 

@@ -1,0 +1,238 @@
+"""Base-generation my_seg_depth model (`S2D_base`).
+
+TPU-native re-design of reference my_seg_depth/model2.py:206-401 — the first
+generation of the seg+depth domain-adaptation lineage:
+
+- nets: G_1 entry net, General_net (standard-transition DenseNet trunk with
+  5 skip features — `GeneralNet2`), skip-connected `SEG2` (28-cls, weighted
+  CE) and `DEP2` (tanh depth) decoders, and a 64-channel feature PatchGAN
+  `Dis_en` aligning G_1(syn) features to the real stem features;
+- round-robin in one jit step (model2.py:340-401):
+  1. G step: G_1 ← LSGAN(Dis_en(syn_feat), real) ; G_2 ← seg CE on both
+     branches (decoders frozen);
+  2. Seg step: decoder update, 5×real CE + syn CE (class-weighted,
+     model2.py:175-204);
+  3. Dep step: L1 on syn depth;
+  4. D step: Dis_en real-vs-syn LSGAN on detached 64-ch features.
+
+All Adams at cfg.lr (model2.py:260-272).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import register_model
+from ..config import Config
+from .base_model import BaseModel, ModelState
+from .networks import gan_loss, l1_loss
+from .s2d import make_adam
+from .s2d_networks import CLASS_WEIGHTS_28, DEP2, G1, GeneralNet2, SDiscriminator, SEG2
+from .seg_network import cross_entropy_loss, seg_accuracy
+
+
+@register_model("S2D_base")
+class S2DBaseModel(BaseModel):
+    loss_names = ("G1_dis", "D_syn", "seg_syn", "seg_real", "D_real",
+                  "dep_syn", "acc_syn", "acc_real")
+    visual_names = ("syn_img", "real_img", "syn_seg_l", "real_seg_l",
+                    "syn_seg_pre", "real_seg_pre", "syn_dep_l", "syn_dep_pre")
+    model_names = ("G_1", "G_2", "Dis_en", "Seg_de", "Dep_de")
+    lr_opt_names = ()
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        dt = cfg.compute_dtype()
+        block_config = tuple(cfg.dense_block_config or (6, 12, 32, 32))
+        self.net_G_1 = G1(n_blocks=cfg.g1_blocks, dtype=dt)
+        self.net_G_2 = GeneralNet2(block_config=block_config, dtype=dt)
+        self.net_Dis_en = SDiscriminator(ndf=cfg.ndf, dtype=dt)
+        self.net_Seg_de = SEG2(n_cls=28, dtype=dt)
+        self.net_Dep_de = DEP2(dtype=dt)
+        self.opts = {k: make_adam(cfg.lr, cfg.beta1)
+                     for k in ("G_1", "G_2", "Seg", "Dep", "D")}
+        self.class_weights = jnp.asarray(CLASS_WEIGHTS_28, jnp.float32)
+
+    def init_state(self, rng: jax.Array) -> ModelState:
+        h, w = self.cfg.fine_size, self.cfg.fine_size * 3
+        return self.init_state_at(rng, h, w)
+
+    def init_state_at(self, rng: jax.Array, h: int, w: int) -> ModelState:
+        keys = jax.random.split(rng, 5)
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        vG1 = self.net_G_1.init(keys[0], x)
+        g1_out = self.net_G_1.apply(vG1, x)
+        vG2 = self.net_G_2.init(keys[1], g1_out, "S")
+        feats, psp = self.net_G_2.apply(vG2, g1_out, "S")
+        vD = self.net_Dis_en.init(keys[2], g1_out)
+        vSeg = self.net_Seg_de.init(keys[3], feats, psp)
+        vDep = self.net_Dep_de.init(keys[4], feats, psp)
+        vs = dict(G_1=vG1, G_2=vG2, Dis_en=vD, Seg_de=vSeg, Dep_de=vDep)
+        params = {k: v["params"] for k, v in vs.items()}
+        stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
+        opt_states = {"G_1": self.opts["G_1"].init(params["G_1"]),
+                      "G_2": self.opts["G_2"].init(params["G_2"]),
+                      "Seg": self.opts["Seg"].init(params["Seg_de"]),
+                      "Dep": self.opts["Dep"].init(params["Dep_de"]),
+                      "D": self.opts["D"].init(params["Dis_en"])}
+        return ModelState(params=params, batch_stats=stats,
+                          opt_states=opt_states, pools={},
+                          step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _step_train(self, state: ModelState, batch, rng):
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        syn_seg_l, real_seg_l = batch["seg_l_syn"], batch["seg_l_real"]
+        syn_dep_l = batch["dep_l_syn"]
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        opt_states = dict(state.opt_states)
+        w28 = self.class_weights
+        metrics = {}
+
+        # forward (model2.py:288-293): syn G_1 features + real trunk pass
+        syn_f1, stats["G_1"] = self._apply(self.net_G_1, params["G_1"],
+                                           stats["G_1"], syn_img, train=True)
+        (real_f2, real_psp), stats["G_2"] = self._apply(
+            self.net_G_2, params["G_2"], stats["G_2"], real_img, "R", train=True)
+        real_feat64 = jax.lax.stop_gradient(real_f2[0])
+
+        # ---- 1. G step: G_1 via Dis_en, G_2 via the two seg branches ----
+        def g_loss_fn(gp):
+            g1p, g2p = gp
+            f1, s1 = self._apply(self.net_G_1, g1p, stats["G_1"], syn_img,
+                                 train=True)
+            pre_s, _ = self._apply(self.net_Dis_en, params["Dis_en"],
+                                   stats["Dis_en"], f1, train=False)
+            loss_g1 = gan_loss(pre_s, True)
+            (syn_f2, syn_psp), s2 = self._apply(
+                self.net_G_2, g2p, stats["G_2"],
+                jax.lax.stop_gradient(f1), "S", train=True)
+            seg_syn, s_seg = self._apply(self.net_Seg_de, params["Seg_de"],
+                                         stats["Seg_de"], syn_f2, syn_psp,
+                                         train=True)
+            (r_f2, r_psp), s2 = self._apply(self.net_G_2, g2p, s2, real_img,
+                                            "R", train=True)
+            seg_real, s_seg = self._apply(self.net_Seg_de, params["Seg_de"],
+                                          s_seg, r_f2, r_psp, train=True)
+            l_syn = cross_entropy_loss(seg_syn, syn_seg_l, 255, w28)
+            l_real = cross_entropy_loss(seg_real, real_seg_l, 255, w28)
+            aux = dict(stats_g1=s1, stats_g2=s2, stats_seg=s_seg,
+                       loss_g1=loss_g1, syn_seg_pre=seg_syn,
+                       real_seg_pre=seg_real, f1=jax.lax.stop_gradient(f1))
+            return loss_g1 + l_syn + l_real, aux
+
+        (_, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            (params["G_1"], params["G_2"]))
+        for name, g in zip(("G_1", "G_2"), grads):
+            upd, opt_states[name] = self.opts[name].update(
+                g, opt_states[name], params[name])
+            params[name] = optax.apply_updates(params[name], upd)
+        stats["G_1"], stats["G_2"] = aux["stats_g1"], aux["stats_g2"]
+        stats["Seg_de"] = aux["stats_seg"]
+        syn_f1 = aux["f1"]
+        metrics["G1_dis"] = aux["loss_g1"]
+        metrics["acc_syn"] = seg_accuracy(aux["syn_seg_pre"], syn_seg_l, 255)
+        metrics["acc_real"] = seg_accuracy(aux["real_seg_pre"], real_seg_l, 255)
+
+        # frozen-G features for the decoder/D phases (model2.py:303-321)
+        (syn_f2, syn_psp), stats["G_2"] = self._apply(
+            self.net_G_2, params["G_2"], stats["G_2"], syn_f1, "S", train=True)
+        syn_f2 = [jax.lax.stop_gradient(f) for f in syn_f2]
+        syn_psp = jax.lax.stop_gradient(syn_psp)
+        real_f2_d = [jax.lax.stop_gradient(f) for f in real_f2]
+        real_psp_d = jax.lax.stop_gradient(real_psp)
+
+        # ---- 2. Seg step: 5×real + syn weighted CE ----
+        def seg_loss_fn(sp):
+            s = stats["Seg_de"]
+            p_syn, s = self._apply(self.net_Seg_de, sp, s, syn_f2, syn_psp,
+                                   train=True)
+            p_real, s = self._apply(self.net_Seg_de, sp, s, real_f2_d,
+                                    real_psp_d, train=True)
+            l_syn = cross_entropy_loss(p_syn, syn_seg_l, 255, w28)
+            l_real = cross_entropy_loss(p_real, real_seg_l, 255, w28)
+            return 5.0 * l_real + l_syn, (l_syn, l_real, s)
+
+        (_, (l_seg_syn, l_seg_real, s_seg)), g = jax.value_and_grad(
+            seg_loss_fn, has_aux=True)(params["Seg_de"])
+        upd, opt_states["Seg"] = self.opts["Seg"].update(g, opt_states["Seg"],
+                                                         params["Seg_de"])
+        params["Seg_de"] = optax.apply_updates(params["Seg_de"], upd)
+        stats["Seg_de"] = s_seg
+        metrics["seg_syn"], metrics["seg_real"] = l_seg_syn, l_seg_real
+
+        # ---- 3. Dep step ----
+        def dep_loss_fn(dp):
+            pred, s = self._apply(self.net_Dep_de, dp, stats["Dep_de"], syn_f2,
+                                  syn_psp, train=True)
+            return l1_loss(pred, syn_dep_l), (pred, s)
+
+        (l_dep, (dep_pred, s_dep)), g = jax.value_and_grad(
+            dep_loss_fn, has_aux=True)(params["Dep_de"])
+        upd, opt_states["Dep"] = self.opts["Dep"].update(g, opt_states["Dep"],
+                                                         params["Dep_de"])
+        params["Dep_de"] = optax.apply_updates(params["Dep_de"], upd)
+        stats["Dep_de"] = s_dep
+        metrics["dep_syn"] = l_dep
+
+        # ---- 4. D step ----
+        def d_loss_fn(dp):
+            s = stats["Dis_en"]
+            pre_s, s = self._apply(self.net_Dis_en, dp, s, syn_f1, train=True)
+            pre_r, s = self._apply(self.net_Dis_en, dp, s, real_feat64,
+                                   train=True)
+            ls = gan_loss(pre_s, False)
+            lr_ = gan_loss(pre_r, True)
+            return ls + lr_, (ls, lr_, s)
+
+        (_, (l_d_syn, l_d_real, s_d)), g = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(params["Dis_en"])
+        upd, opt_states["D"] = self.opts["D"].update(g, opt_states["D"],
+                                                     params["Dis_en"])
+        params["Dis_en"] = optax.apply_updates(params["Dis_en"], upd)
+        stats["Dis_en"] = s_d
+        metrics["D_syn"], metrics["D_real"] = l_d_syn, l_d_real
+
+        return state.replace(params=params, batch_stats=stats,
+                             opt_states=opt_states,
+                             step=state.step + 1), self.metrics_dict(**metrics)
+
+    def _step_eval(self, state: ModelState, batch):
+        params, stats = state.params, state.batch_stats
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        syn_f1, _ = self._apply(self.net_G_1, params["G_1"], stats["G_1"],
+                                syn_img, train=False)
+        (syn_f2, syn_psp), _ = self._apply(self.net_G_2, params["G_2"],
+                                           stats["G_2"], syn_f1, "S",
+                                           train=False)
+        (real_f2, real_psp), _ = self._apply(self.net_G_2, params["G_2"],
+                                             stats["G_2"], real_img, "R",
+                                             train=False)
+        seg_syn, _ = self._apply(self.net_Seg_de, params["Seg_de"],
+                                 stats["Seg_de"], syn_f2, syn_psp, train=False)
+        seg_real, _ = self._apply(self.net_Seg_de, params["Seg_de"],
+                                  stats["Seg_de"], real_f2, real_psp,
+                                  train=False)
+        dep_pred, _ = self._apply(self.net_Dep_de, params["Dep_de"],
+                                  stats["Dep_de"], syn_f2, syn_psp, train=False)
+        syn_seg_l = batch["seg_l_syn"]
+        metrics = {
+            "seg_syn": cross_entropy_loss(seg_syn, syn_seg_l, 255,
+                                          self.class_weights),
+            "dep_syn": l1_loss(dep_pred, batch["dep_l_syn"]),
+            "acc_syn": seg_accuracy(seg_syn, syn_seg_l, 255),
+        }
+        if "seg_l_real" in batch:
+            metrics["seg_real"] = cross_entropy_loss(
+                seg_real, batch["seg_l_real"], 255, self.class_weights)
+            metrics["acc_real"] = seg_accuracy(seg_real, batch["seg_l_real"], 255)
+        visuals = dict(syn_img=syn_img, real_img=real_img, syn_seg_l=syn_seg_l,
+                       syn_seg_pre=jnp.argmax(seg_syn, -1),
+                       real_seg_pre=jnp.argmax(seg_real, -1),
+                       syn_dep_l=batch["dep_l_syn"], syn_dep_pre=dep_pred)
+        if "seg_l_real" in batch:
+            visuals["real_seg_l"] = batch["seg_l_real"]
+        return self.metrics_dict(**metrics), visuals

@@ -614,3 +614,134 @@ def bce_dep_loss(pred: jax.Array, target: jax.Array, o_m: jax.Array,
     bce0 = _bce((pred + 1) / 2 * z_m, (target + 1) / 2 * z_m)
     l1 = jnp.mean(jnp.abs(jnp.broadcast_arrays(pred, target)[0] - target))
     return bce1 + bce0 + 50.0 * l1
+
+
+# ---------------------------------------------------------------------------
+# base-generation (my_seg_depth) variants — networks2.py
+# ---------------------------------------------------------------------------
+
+
+class GeneralNet2(nn.Module):
+    """General_net of the base my_seg_depth generation
+    (reference my_seg_depth/networks2.py:395-481): DenseNet-169 trunk with
+    STANDARD transitions (pool inside), dual-mode forward collecting FIVE
+    skip features (stem-norm 64@1/2, db1 256@1/2, db2 512@1/4, db3 1280@1/8,
+    db4 1664@1/16) + the 4-branch dilated PSP head → (features, psp_out)."""
+
+    mid_nc: int = 1024
+    num_init_features: int = 64
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 32, 32)
+    bn_size: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mode: str = "R", *, train: bool = False):
+        features = []
+        if mode == "R":
+            h = Conv(self.num_init_features, 7, stride=2, padding=3,
+                     use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                     name="conv0")(x)
+            h = Norm("batch", name="norm0")(h, train=train)
+            features.append(h)
+            h = nn.relu(h)
+        else:
+            if self.is_initializing():
+                Conv(self.num_init_features, 7, stride=2, padding=3,
+                     use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                     name="conv0")(jnp.zeros_like(x[..., :3]))
+            # 'S' mode: G_1 features pass through norm0 first
+            # (networks2.py:444-449 iterates features[1:])
+            h = Norm("batch", name="norm0")(x, train=train)
+            features.append(h)
+            h = nn.relu(h)
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            h = DenseBlock(num_layers, self.growth_rate, self.bn_size,
+                           dtype=self.dtype,
+                           name=f"denseblock{i + 1}")(h, train=train)
+            num_features += num_layers * self.growth_rate
+            features.append(h)
+            if i != len(self.block_config) - 1:
+                num_features //= 2
+                h = Transition(num_features, self.dtype,
+                               name=f"transition{i + 1}")(h, train=train)
+        q = self.mid_nc // 4
+        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
+        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                  name="psp_b0")(h)
+        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
+                  dtype=self.dtype, name="psp_b1")(h)
+        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
+        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
+        out = Norm("batch", name="psp_norm_out")(
+            jnp.concatenate([b0, b1, b2, b3], axis=-1), train=train)
+        return features, out
+
+
+class _SkipDecoder(nn.Module):
+    """Shared structure of the base-generation SEG/DEP decoders
+    (networks2.py:489-566): 1×1/deconv feature adapters + skip-concat
+    DeconvBlock chain from the psp output up to full resolution."""
+
+    out_c: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        f0 = ConvTranspose(64, 2, stride=2, padding=0, output_padding=0,
+                           use_bias=True, kernel_init=normal02,
+                           dtype=self.dtype, name="trans_0")(features[0])
+        f1 = Conv(128, 1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="trans_1")(features[1])
+        f2 = Conv(256, 1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="trans_2")(features[2])
+        f3 = Conv(512, 1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="trans_3")(features[3])
+        f4 = Conv(1024, 1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="trans_4")(features[4])
+        chans = [512, 256, 256, 256]
+        skips = [f4, f3, f2, f1]
+        h = x
+        for i, (c, s) in enumerate(zip(chans, skips)):
+            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(
+                jnp.concatenate([h, s], axis=-1), train=train)
+        return Conv(self.out_c, 1, use_bias=True, kernel_init=normal02,
+                    dtype=self.dtype, name="head")(
+            jnp.concatenate([h, f0], axis=-1))
+
+
+class SEG2(nn.Module):
+    """Base-generation SEG decoder (networks2.py:489-531): skip decoder +
+    BN + LeakyReLU head."""
+
+    n_cls: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        h = _SkipDecoder(self.n_cls, dtype=self.dtype, name="dec")(
+            features, x, train=train)
+        return nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+
+
+class DEP2(nn.Module):
+    """Base-generation DEP decoder (networks2.py:534-566): skip decoder +
+    Tanh head."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        h = _SkipDecoder(1, dtype=self.dtype, name="dec")(features, x,
+                                                          train=train)
+        return jnp.tanh(h)
+
+
+# 28-class CE weight table (reference my_seg_depth/model2.py:175-204)
+CLASS_WEIGHTS_28 = (
+    1.4, 0.8, 1.2, 1.4, 1.3, 0.8, 1.3, 1.4, 1.4, 1.4, 1.4, 1.4, 1.4, 1.5,
+    1.5, 1.2, 1.3, 1.1, 2.0, 2.0, 1.1, 1.8, 1.8, 1.8, 1.8, 1.8, 1.8, 1.8,
+)

@@ -501,19 +501,28 @@ def define_feature_D(input_nc: int = 512, n_layers: int = 2,
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
-                       ignore_index: int = 255) -> jax.Array:
+                       ignore_index: int = 255,
+                       weights=None) -> jax.Array:
     """Mean CE over valid pixels (torch CrossEntropyLoss(ignore_index=…)).
 
     logits NHWC (C = classes), labels NHW int. Labels outside [0, C) are
     treated as ignored (torch raises a device assert there; masking keeps the
     jit program total while matching torch on all valid inputs).
+
+    ``weights``: optional per-class weight vector — torch semantics: the
+    per-pixel losses are scaled by w[y] and the mean normalizes by Σ w[y]
+    over valid pixels (the base my_seg_depth class-weight table,
+    model2.py:175-204).
     """
     num_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = ((labels != ignore_index) & (labels >= 0) & (labels < num_classes))
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+    if weights is None:
+        return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+    w = jnp.asarray(weights, jnp.float32)[safe] * valid
+    return -(ll * w).sum() / jnp.maximum(w.sum(), 1e-8)
 
 
 def seg_accuracy(logits: jax.Array, labels: jax.Array,

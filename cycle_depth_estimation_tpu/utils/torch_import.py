@@ -220,3 +220,37 @@ def import_g1(sd: Mapping[str, np.ndarray], n_blocks: int = 3,
         params[f"block{i}"] = bp
         stats[f"block{i}"] = bs
     return {"params": params, "batch_stats": stats}
+
+
+def import_general_net(sd: Mapping[str, np.ndarray],
+                       block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
+    """Import a reference General_net (G_2) checkpoint
+    (new_multi/networks5_ds.py:366-477) into our
+    `models.s2d_networks.GeneralNet` variables.
+
+    torch layout: ``features.{conv0,norm0,denseblock1..4}``, ``PSP.{i}.trans``
+    ModuleLists (BN@0, 1×1@2, 3×3@3) and the psp head ModuleList
+    (BN@0, convs@2-5, BN@6).
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "features.conv0")
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    for i, n_layers in enumerate(block_config):
+        params[f"denseblock{i + 1}"], stats[f"denseblock{i + 1}"] = _dense_block(
+            sd, f"features.denseblock{i + 1}", n_layers)
+        if i < len(block_config) - 1:
+            tp: Dict[str, Any] = {
+                "conv1x1": _conv_entry(sd, f"PSP.{i}.trans.2"),
+                "conv3x3": _conv_entry(sd, f"PSP.{i}.trans.3"),
+            }
+            ts: Dict[str, Any] = {}
+            tp["norm"], ts["norm"] = _bn(sd, f"PSP.{i}.trans.0")
+            params[f"psptrans{i}"] = tp
+            stats[f"psptrans{i}"] = ts
+    params["psp_norm_in"], stats["psp_norm_in"] = _bn(sd, "psp.0")
+    for j, name in enumerate(("psp_b0", "psp_b1", "psp_b2", "psp_b3")):
+        params[name] = _conv_entry(sd, f"psp.{j + 2}")
+    params["psp_norm_out"], stats["psp_norm_out"] = _bn(sd, "psp.6")
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,67 @@
+"""Parallelism tests on the 8-device CPU mesh: DP semantics and spatially
+sharded convolution correctness (XLA halo exchange)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cycle_depth_estimation_tpu.models.networks import ResnetGenerator
+from cycle_depth_estimation_tpu.parallel import (
+    batch_sharding,
+    host_shard_batch,
+    make_mesh,
+    replicated,
+)
+from cycle_depth_estimation_tpu.parallel.spatial import (
+    make_2d_mesh,
+    shard_spatial,
+    spatial_sharding,
+)
+
+
+def test_mesh_and_batch_sharding():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8}
+    batch = {"x": np.zeros((8, 4, 4, 3), np.float32)}
+    sharded = host_shard_batch(mesh, batch)
+    assert len(sharded["x"].sharding.device_set) == 8
+
+
+def test_spatial_sharded_generator_matches():
+    """Generator forward with H sharded over 4 devices == unsharded."""
+    mesh = make_2d_mesh(data=2, model=4)
+    g = ResnetGenerator(output_nc=3, ngf=4, n_blocks=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    params = g.init(jax.random.key(0), x)
+
+    y_ref = np.asarray(jax.jit(g.apply)(params, x))
+
+    xs = shard_spatial(mesh, x)
+    ps = jax.device_put(params, replicated(mesh))
+    y_sh = jax.jit(g.apply)(ps, xs)
+    # output H must be distributed over the model axis
+    assert len(y_sh.sharding.device_set) >= 4
+    np.testing.assert_allclose(np.asarray(y_sh), y_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_dp_step_equals_single_device():
+    """Sharded batch through a jitted loss/grad == unsharded (allreduce)."""
+    mesh = make_mesh()
+    g = ResnetGenerator(output_nc=3, ngf=4, n_blocks=1)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    t = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    params = g.init(jax.random.key(0), x)
+
+    def loss(p, x, t):
+        return jnp.mean(jnp.abs(g.apply(p, x) - t))
+
+    grads_ref = jax.jit(jax.grad(loss))(params, x, t)
+    sh = batch_sharding(mesh)
+    grads_sh = jax.jit(jax.grad(loss))(
+        jax.device_put(params, replicated(mesh)),
+        jax.device_put(x, sh), jax.device_put(t, sh))
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   rtol=1e-5)

@@ -268,3 +268,150 @@ def _init_at(model, h, w):
         params=params, batch_stats=stats,
         opt_states={k: model.opts[k].init(params[k]) for k in model.opts},
         pools={}, step=jnp.zeros((), jnp.int32))
+
+
+def test_s2d_base_train_step():
+    cfg = apply_model_defaults(Config(model="S2D_base", batch_size=1, ndf=8,
+                                      dense_block_config=[2, 2, 2, 2],
+                                      g1_blocks=1))
+    model = create_model(cfg)
+    h, w = 64, 96
+    state = model.init_state_at(jax.random.key(0), h, w)
+    batch = {
+        "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+    }
+    state1, metrics = model.train_step(state, batch, jax.random.key(1))
+    assert set(metrics) == set(model.loss_names)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    for net in model.model_names:
+        l0 = jax.tree.leaves(state.params[net])
+        l1 = jax.tree.leaves(state1.params[net])
+        assert any(not np.allclose(a, b) for a, b in zip(l0, l1)), net
+    m, visuals = model.eval_step(state1, batch)
+    assert visuals["syn_dep_pre"].shape == (1, h, w, 1)
+    assert visuals["syn_seg_pre"].shape == (1, h, w)
+
+
+def test_weighted_cross_entropy_matches_torch():
+    import torch.nn as tnn2
+    logits = RNG.randn(1, 6, 6, 28).astype(np.float32)
+    labels = RNG.randint(0, 28, (1, 6, 6))
+    labels[0, 0, :3] = 255
+    from cycle_depth_estimation_tpu.models.s2d_networks import CLASS_WEIGHTS_28
+    from cycle_depth_estimation_tpu.models.seg_network import cross_entropy_loss
+    w = torch.tensor(CLASS_WEIGHTS_28)
+    ref = tnn2.CrossEntropyLoss(weight=w, ignore_index=255)(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels).long())
+    ours = cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels), 255,
+                              jnp.asarray(CLASS_WEIGHTS_28))
+    assert np.isclose(float(ours), ref.item(), atol=1e-6)
+
+
+def build_torch_general_net(block_config=(2, 2, 2, 2), mid_nc=1024):
+    """Reference-shaped General_net (networks5_ds.py:366-409) torch oracle."""
+    from tests.test_s2d import build_torch_g1  # reuse DenseLayer via closure
+
+    class DenseLayer(tnn.Sequential):
+        def __init__(self, nin, growth, bn_size):
+            super().__init__()
+            self.add_module("norm1", tnn.BatchNorm2d(nin))
+            self.add_module("relu1", tnn.ReLU(inplace=True))
+            self.add_module("conv1", tnn.Conv2d(nin, bn_size * growth, 1, bias=False))
+            self.add_module("norm2", tnn.BatchNorm2d(bn_size * growth))
+            self.add_module("relu2", tnn.ReLU(inplace=True))
+            self.add_module("conv2", tnn.Conv2d(bn_size * growth, growth, 3,
+                                                padding=1, bias=False))
+
+        def forward(self, x):
+            return torch.cat([x, super().forward(x)], 1)
+
+    class PspTrans(tnn.Module):
+        def __init__(self, nin):
+            super().__init__()
+            nout = nin // 4
+            self.trans = tnn.ModuleList([
+                tnn.BatchNorm2d(nin), tnn.ReLU(inplace=False),
+                tnn.Conv2d(nin, nout, 1, bias=False),
+                tnn.Conv2d(nin, nout, 3, padding=1, bias=False),
+                tnn.AvgPool2d(2, 2)])
+
+        def forward(self, x):
+            x = self.trans[1](self.trans[0](x))
+            return self.trans[4](torch.cat([self.trans[2](x), self.trans[3](x)], 1))
+
+    net = tnn.Module()
+    feats = tnn.Sequential(OrderedDict([
+        ("conv0", tnn.Conv2d(3, 64, 7, 2, 3, bias=False)),
+        ("norm0", tnn.BatchNorm2d(64)),
+        ("relu0", tnn.ReLU(inplace=False))]))
+    psp_list = tnn.ModuleList()
+    nf = 64
+    for i, n_layers in enumerate(block_config):
+        db = tnn.Sequential()
+        for j in range(n_layers):
+            db.add_module(f"denselayer{j + 1}", DenseLayer(nf, 32, 4))
+            nf += 32
+        feats.add_module(f"denseblock{i + 1}", db)
+        if i != len(block_config) - 1:
+            psp_list.append(PspTrans(nf))
+            nf //= 2
+    net.features = feats
+    net.PSP = psp_list
+    q = mid_nc // 4
+    net.psp = tnn.ModuleList([
+        tnn.BatchNorm2d(nf), tnn.ReLU(inplace=False),
+        tnn.Conv2d(nf, q, 1, bias=False),
+        tnn.Conv2d(nf, q, 1, dilation=1, bias=False),
+        tnn.Conv2d(nf, q, 2, padding=1, dilation=2, bias=False),
+        tnn.Conv2d(nf, q, 3, padding=2, dilation=2, bias=False),
+        tnn.BatchNorm2d(mid_nc)])
+
+    def forward(x, mode):
+        h = x
+        start = 0 if mode == "R" else 3
+        if mode == "R":
+            for i in range(3):
+                h = net.features[i](h)
+        feats_out = []
+        for i in range(len(net.features) - 3):
+            h = net.features[i + 3](h)
+            feats_out.append(h.detach())
+            if i < 3:
+                h = net.PSP[i](h)
+        h = net.psp[1](net.psp[0](h))
+        h = torch.cat([net.psp[2](h), net.psp[3](h), net.psp[4](h),
+                       net.psp[5](h)], 1)
+        return net.psp[6](h), feats_out
+
+    net.fwd = forward
+    return net
+
+
+def test_general_net_import_parity():
+    from cycle_depth_estimation_tpu.utils.torch_import import import_general_net
+
+    torch.manual_seed(3)
+    tg = build_torch_general_net()
+    tg.eval()
+    x = RNG.randn(1, 3, 32, 64).astype(np.float32)  # NCHW
+    with torch.no_grad():
+        psp_ref, feats_ref = tg.fwd(torch.from_numpy(x), "R")
+    sd = {k: v for k, v in tg.state_dict().items()}
+    variables = import_general_net(sd, block_config=(2, 2, 2, 2))
+    g = GeneralNet(block_config=(2, 2, 2, 2))
+    variables = jax.tree.map(jnp.asarray, variables)
+    psp, feats = g.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), "R",
+                         train=False)
+    np.testing.assert_allclose(
+        np.asarray(psp), psp_ref.numpy().transpose(0, 2, 3, 1), atol=1e-3,
+        rtol=1e-3)
+    for mine, ref in zip(feats, feats_ref):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref.numpy().transpose(0, 2, 3, 1), atol=1e-3,
+            rtol=1e-3)

@@ -63,8 +63,15 @@ def main(argv=None):
             paths = {k: v for k, v in batch.items() if isinstance(v, list)}
             arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
             rng, step_rng = jax.random.split(rng)
+            if cfg.profile_dir and total_steps == cfg.profile_start * cfg.batch_size:
+                jax.profiler.start_trace(cfg.profile_dir)
             state, losses = model.train_step(state, arrays, step_rng)
             total_steps += cfg.batch_size
+            if cfg.profile_dir and total_steps == (
+                    (cfg.profile_start + cfg.profile_steps) * cfg.batch_size):
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {cfg.profile_dir}")
 
             if total_steps % cfg.print_freq < cfg.batch_size:
                 losses_host = {k: float(v) for k, v in losses.items()}
