@@ -100,6 +100,21 @@ class BaseModel:
     def init_state(self, rng: jax.Array) -> ModelState:  # pragma: no cover
         raise NotImplementedError
 
+    def init_state_on_host(self, rng: jax.Array) -> ModelState:
+        """Initialize params on CPU, then transfer once.
+
+        Running the many small init computations through the TPU (especially
+        over the axon relay, where each dispatch round-trips) is very slow —
+        measured 17 min for the 77M-param S2D init vs seconds on host. One
+        bulk device_put afterwards is the TPU-friendly pattern.
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = self.init_state(rng)
+        if jax.default_backend() != "cpu":
+            state = jax.device_put(state, jax.devices()[0])
+        return state
+
     def train_step(self, state: ModelState, batch, rng: jax.Array):
         if self._train_step_jit is None:
             # NOTE: no buffer donation — callers (train loops, tests) may hold

@@ -109,8 +109,7 @@ class Conv(nn.Module):
                     xp.astype(dtype), kernel.astype(dtype), (sh, sw),
                     ((0, 0), (0, 0)), rhs_dilation=(dh, dw),
                     dimension_numbers=DIMENSION_NUMBERS,
-                    feature_group_count=self.feature_group_count,
-                    preferred_element_type=jnp.float32).astype(dtype)
+                    feature_group_count=self.feature_group_count).astype(dtype)
             if self.use_bias:
                 bias = self.param("bias", self.bias_init, (self.features,),
                                   jnp.float32)
@@ -133,7 +132,6 @@ class Conv(nn.Module):
             rhs_dilation=(dh, dw),
             dimension_numbers=DIMENSION_NUMBERS,
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
@@ -195,7 +193,6 @@ class ConvTranspose(nn.Module):
                 padding=pad,
                 lhs_dilation=(sh, sw),
                 dimension_numbers=DIMENSION_NUMBERS,
-                preferred_element_type=jnp.float32,
             ).astype(dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
@@ -224,8 +221,7 @@ def conv3x3_reflect(x: jax.Array, kernel: jax.Array,
     x = x.astype(dtype)
     k = kernel.astype(dtype)
     main = lax.conv_general_dilated(
-        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32).astype(dtype)
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=DIMENSION_NUMBERS).astype(dtype)
     h, w = x.shape[1], x.shape[2]
 
     def run(patch, sub, pad_w=None, pad_h=None):
@@ -237,8 +233,7 @@ def conv3x3_reflect(x: jax.Array, kernel: jax.Array,
                             mode=pad_h)
         return lax.conv_general_dilated(
             patch, sub, (1, 1), ((0, 0), (0, 0)),
-            dimension_numbers=DIMENSION_NUMBERS,
-            preferred_element_type=jnp.float32).astype(dtype)
+            dimension_numbers=DIMENSION_NUMBERS).astype(dtype)
 
     top = run(x[:, 1:2], k[0:1], pad_w="reflect")
     bot = run(x[:, h - 2:h - 1], k[2:3], pad_w="reflect")
@@ -299,7 +294,6 @@ def _conv_transpose_s2_phases(x: jax.Array, kernel: jax.Array,
                 x, sub, window_strides=(1, 1),
                 padding=((plh, prh), (plw, prw)),
                 dimension_numbers=DIMENSION_NUMBERS,
-                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
             row.append(y)
         phases.append(row)

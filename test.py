@@ -40,7 +40,7 @@ def main(argv=None):
 
     loader = create_dataloader(cfg, phase=cfg.phase, shuffle=False)
     model = create_model(cfg)
-    state = model.init_state(jax.random.key(cfg.seed))
+    state = model.init_state_on_host(jax.random.key(cfg.seed))
     if pth_path is not None:
         state = model.load_reference_generator(state, pth_path)
     elif os.path.isdir(model._ckpt_dir(cfg.epoch)):

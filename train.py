@@ -43,7 +43,7 @@ def main(argv=None):
 
     mesh = make_mesh(cfg.mesh_shape)
     model = create_model(cfg)
-    state = model.init_state(jax.random.key(cfg.seed))
+    state = model.init_state_on_host(jax.random.key(cfg.seed))
     if cfg.continue_train:
         state = model.load_networks(state, cfg.epoch)
     # replicate the state onto the mesh up front so the first and second steps
