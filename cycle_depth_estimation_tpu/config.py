@@ -131,6 +131,9 @@ class Config:
 
     # ---- TPU-native additions ----
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
+    remat: bool = False             # rematerialize generator forwards in the
+                                    # G loss (trades ~30% step time for the
+                                    # activation memory of 6 G passes)
     seed: int = 0
     mesh_shape: Optional[List[int]] = None  # default: all devices on 'data'
     prefetch_depth: int = 2

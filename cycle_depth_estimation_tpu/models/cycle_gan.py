@@ -85,20 +85,29 @@ class CycleGANModel(BaseModel):
 
     # ------------------------------------------------------------------
     def _forward_g(self, params, stats, real_A, real_B, train, rng):
-        """fake_B, rec_A, fake_A, rec_B (+ identity passes)."""
+        """fake_B, rec_A, fake_A, rec_B (+ identity passes).
+
+        With cfg.remat, each generator application is wrapped in
+        `jax.checkpoint`: the G loss holds 6 generator activations live for
+        the backward pass, which caps the batch size (bs 32 spills on v5e);
+        remat recomputes them instead.
+        """
         k = jax.random.split(rng, 6) if rng is not None else [None] * 6
-        fake_B, _ = self._apply(self.net_G_A, params["G_A"], stats["G_A"], real_A,
-                                train=train, rng=k[0])
-        rec_A, _ = self._apply(self.net_G_B, params["G_B"], stats["G_B"], fake_B,
-                               train=train, rng=k[1])
-        fake_A, _ = self._apply(self.net_G_B, params["G_B"], stats["G_B"], real_B,
-                                train=train, rng=k[2])
-        rec_B, _ = self._apply(self.net_G_A, params["G_A"], stats["G_A"], fake_A,
-                               train=train, rng=k[3])
-        idt_A, _ = self._apply(self.net_G_A, params["G_A"], stats["G_A"], real_B,
-                               train=train, rng=k[4])
-        idt_B, _ = self._apply(self.net_G_B, params["G_B"], stats["G_B"], real_A,
-                               train=train, rng=k[5])
+
+        def apply_g(module, p, s, x, key):
+            def fwd(p, x):
+                return self._apply(module, p, s, x, train=train, rng=key)[0]
+
+            if self.cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(p, x)
+
+        fake_B = apply_g(self.net_G_A, params["G_A"], stats["G_A"], real_A, k[0])
+        rec_A = apply_g(self.net_G_B, params["G_B"], stats["G_B"], fake_B, k[1])
+        fake_A = apply_g(self.net_G_B, params["G_B"], stats["G_B"], real_B, k[2])
+        rec_B = apply_g(self.net_G_A, params["G_A"], stats["G_A"], fake_A, k[3])
+        idt_A = apply_g(self.net_G_A, params["G_A"], stats["G_A"], real_B, k[4])
+        idt_B = apply_g(self.net_G_B, params["G_B"], stats["G_B"], real_A, k[5])
         return fake_B, rec_A, fake_A, rec_B, idt_A, idt_B
 
     def _g_losses(self, g_params, d_params, stats, real_A, real_B, train, rng):

@@ -180,3 +180,24 @@ def test_save_and_load_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == 1
+
+
+def test_cycle_gan_remat_step():
+    """cfg.remat wraps generator forwards in jax.checkpoint — same losses."""
+    cfg = small_cfg(d_steps_per_g=1).replace(remat=True)
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "img_source": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32)),
+        "img_target": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32)),
+    }
+    state1, metrics = model.train_step(state, batch, jax.random.key(1))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    # remat must not change the math: compare against the no-remat model
+    cfg2 = small_cfg(d_steps_per_g=1)
+    model2 = create_model(cfg2)
+    state2 = model2.init_state(jax.random.key(0))
+    state2b, metrics2 = model2.train_step(state2, batch, jax.random.key(1))
+    for k in metrics:
+        assert np.isclose(float(metrics[k]), float(metrics2[k]), rtol=1e-5), k
