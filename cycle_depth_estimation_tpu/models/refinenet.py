@@ -137,8 +137,12 @@ class PSPBlock(nn.Module):
                      name=f"psp{i}_conv")(x)
             h = Norm("batch", name=f"psp{i}_bn")(h, train=train)
             branches.append(jnp.minimum(nn.relu(h), 6.0))
-        res = ConvBnRelu6(self.out_planes, 1, dtype=self.dtype,
-                          name="res_conv")(x, train=train)
+        # residual 1×1 path: plain Conv2d (bias=True, unlike convbnrelu) + BN
+        # + ReLU6 (layer_factory.py:66)
+        res = Conv(self.out_planes, 1, use_bias=True, kernel_init=kaiming,
+                   dtype=self.dtype, name="res_conv")(x)
+        res = Norm("batch", name="res_bn")(res, train=train)
+        res = jnp.minimum(nn.relu(res), 6.0)
         return jnp.concatenate(branches, axis=-1) + res
 
 

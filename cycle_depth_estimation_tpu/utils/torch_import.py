@@ -254,3 +254,113 @@ def import_general_net(sd: Mapping[str, np.ndarray],
         params[name] = _conv_entry(sd, f"psp.{j + 2}")
     params["psp_norm_out"], stats["psp_norm_out"] = _bn(sd, "psp.6")
     return {"params": params, "batch_stats": stats}
+
+
+def import_resnetlw(sd: Mapping[str, np.ndarray],
+                    layers=(3, 4, 23, 3)) -> Dict[str, Any]:
+    """Import a reference ResNetLW checkpoint (new_model/my_rf_lw.py:226-321,
+    e.g. the 'res101_model.pth' / 'my_ins_res101_model.pth' weight files the
+    reference loads) into our `models.refinenet.ResNetLW` variables."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv1"] = _conv_entry(sd, "conv1")
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+
+    # ---- trunk layers + per-domain instance adapters ----
+    for li, blocks in enumerate(layers, start=1):
+        lp: Dict[str, Any] = {}
+        ls: Dict[str, Any] = {}
+        for b in range(blocks):
+            base = f"layer{li}.{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in (1, 2, 3):
+                bp[f"conv{c}"] = _conv_entry(sd, f"{base}.conv{c}")
+                bp[f"bn{c}"], bs[f"bn{c}"] = _bn(sd, f"{base}.bn{c}")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["down_conv"] = _conv_entry(sd, f"{base}.downsample.0")
+                bp["down_bn"], bs["down_bn"] = _bn(sd, f"{base}.downsample.1")
+            lp[f"block{b}"] = bp
+            ls[f"block{b}"] = bs
+        params[f"layer{li}"] = lp
+        stats[f"layer{li}"] = ls
+        for suffix in ("s", "r"):
+            name = f"ins_layer{li}_{suffix}"
+            if f"{name}.0.weight" in sd:
+                params[name] = {"conv": _conv_entry(sd, f"{name}.0")}
+
+    # ---- top-down fusion ----
+    def cbr(torch_prefix: str, mine: str):
+        params[mine] = {"conv": _conv_entry(sd, f"{torch_prefix}.0")}
+        bnp, bns = _bn(sd, f"{torch_prefix}.1")
+        params[mine]["bn"] = bnp
+        stats[mine] = {"bn": bns}
+
+    def psp(torch_prefix: str, mine: str):
+        pp: Dict[str, Any] = {}
+        ps: Dict[str, Any] = {}
+        for i in range(4):
+            pp[f"psp{i}_conv"] = _conv_entry(sd, f"{torch_prefix}.{i + 1}_pspconv.0")
+            pp[f"psp{i}_bn"], ps[f"psp{i}_bn"] = _bn(
+                sd, f"{torch_prefix}.{i + 1}_pspconv.1")
+        pp["res_conv"] = _conv_entry(sd, f"{torch_prefix}.conv.0")
+        pp["res_bn"], ps["res_bn"] = _bn(sd, f"{torch_prefix}.conv.1")
+        params[mine] = pp
+        stats[mine] = ps
+
+    def at(torch_prefix: str, mine: str):
+        pp: Dict[str, Any] = {"at_conv": _conv_entry(sd, f"{torch_prefix}.attention_bs2.0"),
+                              "proj": _conv_entry(sd, f"{torch_prefix}.conv")}
+        ps: Dict[str, Any] = {}
+        pp["at_bn"], ps["at_bn"] = _bn(sd, f"{torch_prefix}.attention_bs2.1")
+        params[mine] = pp
+        stats[mine] = ps
+
+    cbr("p_ims1d2_outl1_dimred_", "outl1_dimred")
+    psp("psp4.0", "psp4")
+    params["g1_dimred"] = _conv_entry(sd, "mflow_conv_g1_b3_joint_varout_dimred")
+    cbr("p_ims1d2_outl2_dimred_", "outl2_dimred")
+    params["adapt2"] = _conv_entry(sd, "adapt_stage2_b2_joint_varout_dimred")
+    at("CAT3", "cat3")
+    psp("psp3.0", "psp3")
+    params["g2_dimred"] = _conv_entry(sd, "mflow_conv_g2_b3_joint_varout_dimred")
+    cbr("p_ims1d2_outl3_dimred_", "outl3_dimred")
+    params["adapt3"] = _conv_entry(sd, "adapt_stage3_b2_joint_varout_dimred")
+    at("CAT2", "cat2")
+    psp("psp2.0", "psp2")
+    params["g3_dimred"] = _conv_entry(sd, "mflow_conv_g3_b3_joint_varout_dimred")
+    cbr("p_ims1d2_outl4_dimred_", "outl4_dimred")
+    params["adapt4"] = _conv_entry(sd, "adapt_stage4_b2_joint_varout_dimred")
+    at("CAT1", "cat1")
+    psp("psp1.0", "psp1")
+
+    # ---- depth block (my_rf_lw.py:169-224 ReLU6 variant) ----
+    dp: Dict[str, Any] = {}
+    ds: Dict[str, Any] = {}
+    for i in range(4):
+        dp[f"up{i}_deconv"] = _conv_entry(sd, f"dep.upconv.{i}.0", transposed=True)
+        dp[f"up{i}_norm0"], ds[f"up{i}_norm0"] = _bn(sd, f"dep.upconv.{i}.2")
+        dp[f"up{i}_conv"] = _conv_entry(sd, f"dep.upconv.{i}.3")
+        dp[f"up{i}_norm1"], ds[f"up{i}_norm1"] = _bn(sd, f"dep.upconv.{i}.5")
+        dp[f"depth_out{i}"] = _conv_entry(sd, f"dep.depth_out.{i}.0")
+        dp[f"at{i}_conv"] = _conv_entry(sd, f"dep.attention_bs.{i}.0")
+        dp[f"at{i}_norm"], ds[f"at{i}_norm"] = _bn(sd, f"dep.attention_bs.{i}.2")
+    dp["fuse_conv"] = _conv_entry(sd, "dep.conv.0")
+    dp["fuse_norm"], ds["fuse_norm"] = _bn(sd, "dep.conv.2")
+    dp["dep_conv"] = _conv_entry(sd, "dep.depconv.0")
+    params["dep"] = dp
+    stats["dep"] = ds
+    return {"params": params, "batch_stats": stats}
+
+
+def import_segd(sd: Mapping[str, np.ndarray], up_scale: int) -> Dict[str, Any]:
+    """Import a reference segd head (new_model/my_rf_lw.py:493-516)."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(up_scale):
+        params[f"up{i}"] = {"deconv": _conv_entry(sd, f"Up.{i}.deconv",
+                                                  transposed=True)}
+    params["head"] = _conv_entry(sd, f"Up.{up_scale}")
+    return {"params": params, "batch_stats": stats}
