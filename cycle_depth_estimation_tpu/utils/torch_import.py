@@ -364,3 +364,63 @@ def import_segd(sd: Mapping[str, np.ndarray], up_scale: int) -> Dict[str, Any]:
                                                   transposed=True)}
     params["head"] = _conv_entry(sd, f"Up.{up_scale}")
     return {"params": params, "batch_stats": stats}
+
+
+def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
+                                block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
+    """Import a torchvision DenseNet state dict (densenet121/169) into our
+    `models.s2d_networks.GeneralNet2` variables for pretrained warm-starts —
+    the reference does the same with a key-remap (networks5_ds.py:89-120).
+
+    Accepts both modern torchvision names (``norm1``) and the legacy dotted
+    names (``norm.1``) the reference's regex rewrites. The classifier and the
+    final ``features.norm5`` have no counterpart here (the PSP head replaces
+    them) and are skipped.
+    """
+    sd = {k.replace("norm.1", "norm1").replace("norm.2", "norm2")
+           .replace("conv.1", "conv1").replace("conv.2", "conv2"): v
+          for k, v in strip_module_prefix(dict(sd)).items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "features.conv0")
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    for i, n_layers in enumerate(block_config):
+        params[f"denseblock{i + 1}"], stats[f"denseblock{i + 1}"] = _dense_block(
+            sd, f"features.denseblock{i + 1}", n_layers)
+        if i < len(block_config) - 1:
+            tp: Dict[str, Any] = {
+                "conv": _conv_entry(sd, f"features.transition{i + 1}.conv")}
+            ts: Dict[str, Any] = {}
+            tp["norm"], ts["norm"] = _bn(sd, f"features.transition{i + 1}.norm")
+            params[f"transition{i + 1}"] = tp
+            stats[f"transition{i + 1}"] = ts
+    return {"params": params, "batch_stats": stats}
+
+
+def warm_start(target_vars: Dict[str, Any], donor_vars: Dict[str, Any]
+               ) -> Dict[str, Any]:
+    """Copy donor leaves into target wherever path+shape match (the
+    reference's name-matching weight transfer, my_rf_lw.py:555-570)."""
+    import copy
+
+    out = copy.deepcopy(dict(target_vars))
+
+    def merge(dst, src):
+        n = 0
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                n += merge(dst[k], v)
+            elif not isinstance(v, dict) and getattr(dst[k], "shape", None) == \
+                    getattr(v, "shape", ()):
+                dst[k] = v
+                n += 1
+        return n
+
+    n = 0
+    for coll in out:
+        if coll in donor_vars:
+            n += merge(out[coll], donor_vars[coll])
+    out["_n_transferred"] = n
+    return out

@@ -415,3 +415,82 @@ def test_general_net_import_parity():
         np.testing.assert_allclose(
             np.asarray(mine), ref.numpy().transpose(0, 2, 3, 1), atol=1e-3,
             rtol=1e-3)
+
+
+def test_torchvision_densenet_import_parity():
+    """Warm-start GeneralNet2 from a torchvision-layout DenseNet state dict
+    (features.denseblockN.denselayerM.{norm1,conv1,norm2,conv2},
+    features.transitionN.{norm,conv}) and compare trunk features against the
+    torch oracle chained without the stem maxpool (the reference trunk omits
+    it). torchvision itself is not installed here; the oracle reproduces its
+    exact module naming."""
+    from cycle_depth_estimation_tpu.models.s2d_networks import GeneralNet2
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_torchvision_densenet,
+        warm_start,
+    )
+
+    class DenseLayer(tnn.Sequential):
+        def __init__(self, nin, growth, bn_size):
+            super().__init__()
+            self.add_module("norm1", tnn.BatchNorm2d(nin))
+            self.add_module("relu1", tnn.ReLU(inplace=True))
+            self.add_module("conv1", tnn.Conv2d(nin, bn_size * growth, 1, bias=False))
+            self.add_module("norm2", tnn.BatchNorm2d(bn_size * growth))
+            self.add_module("relu2", tnn.ReLU(inplace=True))
+            self.add_module("conv2", tnn.Conv2d(bn_size * growth, growth, 3,
+                                                padding=1, bias=False))
+
+        def forward(self, x):
+            return torch.cat([x, super().forward(x)], 1)
+
+    torch.manual_seed(4)
+    block_config = (2, 2, 2, 2)
+    feats = tnn.Sequential(OrderedDict([
+        ("conv0", tnn.Conv2d(3, 64, 7, 2, 3, bias=False)),
+        ("norm0", tnn.BatchNorm2d(64))]))
+    nf = 64
+    for bi, n_layers in enumerate(block_config, start=1):
+        db = tnn.Sequential()
+        for j in range(n_layers):
+            db.add_module(f"denselayer{j + 1}", DenseLayer(nf, 32, 4))
+            nf += 32
+        feats.add_module(f"denseblock{bi}", db)
+        if bi < 4:
+            tr = tnn.Sequential(OrderedDict([
+                ("norm", tnn.BatchNorm2d(nf)),
+                ("relu", tnn.ReLU(inplace=False)),
+                ("conv", tnn.Conv2d(nf, nf // 2, 1, bias=False)),
+                ("pool", tnn.AvgPool2d(2, 2))]))
+            feats.add_module(f"transition{bi}", tr)
+            nf //= 2
+    tv = tnn.Module()
+    tv.features = feats
+    tv.eval()
+
+    x = RNG.randn(1, 3, 32, 64).astype(np.float32)
+    f = tv.features
+    with torch.no_grad():
+        h = f.norm0(f.conv0(torch.from_numpy(x)))
+        feats_ref = [h]
+        h = torch.relu(h)
+        for i in range(1, 5):
+            h = getattr(f, f"denseblock{i}")(h)
+            feats_ref.append(h)
+            if i < 4:
+                h = getattr(f, f"transition{i}")(h)
+
+    variables = import_torchvision_densenet(tv.state_dict(),
+                                            block_config=block_config)
+    g = GeneralNet2(block_config=block_config)
+    init_vars = g.init(jax.random.key(0),
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), "R")
+    merged = warm_start(init_vars, jax.tree.map(jnp.asarray, variables))
+    n = merged.pop("_n_transferred")
+    assert n > 80  # trunk leaves transferred; PSP head keeps fresh init
+    feats_out, _ = g.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), "R",
+                           train=False)
+    for mine, ref in zip(feats_out, feats_ref):
+        np.testing.assert_allclose(np.asarray(mine),
+                                   ref.numpy().transpose(0, 2, 3, 1),
+                                   atol=2e-3, rtol=1e-2)
