@@ -47,7 +47,12 @@ def main():
     def fwd(params, x):
         return g.apply(params, x)
 
-    run_chain(fwd, params, x, 3)  # compile + relay warmup
+    # compile + relay warmup; one retry — the relay occasionally drops a
+    # first dispatch
+    try:
+        run_chain(fwd, params, x, 3)
+    except Exception:
+        run_chain(fwd, params, x, 3)
 
     best = float("inf")
     iters = 8

@@ -88,3 +88,16 @@ def diagnose_network(grads, name: str = "network") -> float:
     val = float(np.mean(leaves)) if leaves else 0.0
     print(f"{name}: mean |grad| = {val}")
     return val
+
+
+def scale_pyramid(img, num_scales: int):
+    """List of the image at [H/2^i, W/2^i] scales, area-style downsampling
+    (reference util/util.py scale_pyramid)."""
+    import jax
+
+    from ..ops.layers import avg_pool
+
+    out = [img]
+    for _ in range(num_scales - 1):
+        out.append(avg_pool(out[-1], 2, 2))
+    return out
