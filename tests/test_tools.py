@@ -92,3 +92,17 @@ def test_seg_metrics():
     assert miou(pred, label, 3) == 1.0
     pred2 = np.array([[1, 1], [2, 2]])
     assert pixel_accuracy(pred2, label) == pytest.approx(2 / 3)
+
+
+def test_make_dataset_aligned(tmp_path):
+    from tools.make_dataset_aligned import make_aligned
+
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    names = [f"p{i}.png" for i in range(2)]
+    _write(a, names, size=(30, 20))
+    _write(b, names, size=(24, 36))
+    out = str(tmp_path / "AB")
+    n = make_aligned(a, b, out, size=32)
+    assert n == 2
+    im = Image.open(os.path.join(out, "p0.png"))
+    assert im.size == (64, 32)
