@@ -274,8 +274,14 @@ def _phases_are_uniform(k: int, p: int) -> bool:
 
 def _conv_transpose_s2_phases(x: jax.Array, kernel: jax.Array,
                               k: Tuple[int, int], p: Tuple[int, int],
-                              op: Tuple[int, int]) -> jax.Array:
-    """Exact stride-2 ConvTranspose2d via 4 per-phase dense convs + interleave."""
+                              op: Tuple[int, int],
+                              preferred_element_type=None) -> jax.Array:
+    """Exact stride-2 ConvTranspose2d via 4 per-phase dense convs + interleave.
+
+    With ``preferred_element_type`` set (e.g. int8 inputs → int32 accumulate,
+    the int8 serving path), the phase convs accumulate in that type; otherwise
+    the result is cast back to ``x.dtype``.
+    """
     kh, kw = k
     pads_h = kh - 1 - p[0]
     pads_w = kw - 1 - p[1]
@@ -294,7 +300,10 @@ def _conv_transpose_s2_phases(x: jax.Array, kernel: jax.Array,
                 x, sub, window_strides=(1, 1),
                 padding=((plh, prh), (plw, prw)),
                 dimension_numbers=DIMENSION_NUMBERS,
-            ).astype(x.dtype)
+                preferred_element_type=preferred_element_type,
+            )
+            if preferred_element_type is None:
+                y = y.astype(x.dtype)
             row.append(y)
         phases.append(row)
     # interleave: out[2i+dh, 2j+dw] = phases[dh][dw][i, j]

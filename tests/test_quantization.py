@@ -10,8 +10,11 @@ from cycle_depth_estimation_tpu.models.networks import ResnetGenerator
 from cycle_depth_estimation_tpu.models.quantization import (
     Int8ResnetGenerator,
     calibrate,
+    fused_int8_apply,
+    fused_int8_variables,
     int8_generator_variables,
     quantize_conv_params,
+    synthetic_calibration_batch,
 )
 
 
@@ -60,3 +63,57 @@ def test_int8_calibrated_static_tracks_fp32():
     x2 = jnp.asarray(np.random.RandomState(2).rand(1, 32, 32, 3) * 2 - 1,
                      jnp.float32)
     assert _cos(gq.apply(static_vars, x2), g.apply(vs, x2)) > 0.995
+
+
+def test_int8_fused_tracks_fp32_all_up_modes():
+    """The fused serving path (IN-invariance dequant elision + fused
+    epilogues; models/quantization.py fused_int8_apply) matches fp32 at the
+    same fidelity as v1, for every up-stage mode."""
+    g, gq, vs, x = _setup()
+    y_fp = g.apply(vs, x)
+    static = calibrate(gq, int8_generator_variables(vs["params"]), x)
+    fused = fused_int8_variables(static)
+    for mode in ("bf16", "int8_dilated", "int8_phases"):
+        y = fused_int8_apply(fused, x, n_blocks=2, up_mode=mode)
+        assert _cos(y, y_fp) > 0.999, mode
+    # exact phase decomposition: dilated and phase int8 ups agree bit-exactly
+    y_d = fused_int8_apply(fused, x, n_blocks=2, up_mode="int8_dilated")
+    y_p = fused_int8_apply(fused, x, n_blocks=2, up_mode="int8_phases")
+    np.testing.assert_array_equal(np.asarray(y_d, np.float32),
+                                  np.asarray(y_p, np.float32))
+
+
+def test_fused_epilogue_pallas_matches_xla():
+    """Pallas (interpret on CPU) vs XLA epilogue: bit-identical int8."""
+    from cycle_depth_estimation_tpu.ops.pallas.int8_epilogue import (
+        fused_in_epilogue,
+    )
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randint(-30000, 30000, (2, 16, 16, 8)), jnp.int32)
+    h = jnp.asarray(rng.randn(2, 16, 16, 8), jnp.bfloat16)
+    inv_s = jnp.float32(25.0)
+    for kw in (dict(relu=True, pad=1), dict(relu=True, keep_float=True),
+               dict(residual=h, pad=1), dict(residual=h)):
+        qp, zp = fused_in_epilogue(y, inv_s, use_pallas=True, interpret=True,
+                                   **kw)
+        qx, zx = fused_in_epilogue(y, inv_s, use_pallas=False, **kw)
+        np.testing.assert_array_equal(np.asarray(qp), np.asarray(qx))
+        if zp is not None:
+            np.testing.assert_array_equal(
+                np.asarray(zp, np.float32), np.asarray(zx, np.float32))
+    # float-only epilogue (bf16 up-stage mode)
+    qn, zn = fused_in_epilogue(y, None, relu=True)
+    assert qn is None and zn.shape == y.shape
+
+
+def test_synthetic_calibration_batch():
+    imgs = synthetic_calibration_batch(0, 2, 32)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+    # structured, not white noise: strong spatial autocorrelation (white
+    # noise gives ~0; at tiny 32² the fixed-cycle sinusoids alias to ~0.67)
+    a = imgs[0, :, :-1, 0].ravel()
+    b = imgs[0, :, 1:, 0].ravel()
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.5, r
