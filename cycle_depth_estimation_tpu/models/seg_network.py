@@ -374,6 +374,127 @@ class UNetGenerator(nn.Module):
         return [feats[3], out]
 
 
+class VGG16Features(nn.Module):
+    """The torchvision ``vgg16().features`` conv stacks used by _PreUNet16
+    (reference models/seg_network.py:367-376): plain 3×3 convs + ReLU, no
+    norm. Module names mirror the torch Sequential renumbering in the
+    reference's ``conv1..conv4`` attributes (conv1 = [features.0, relu,
+    features.2, relu] → ``conv1_0``/``conv1_2``) so the importer maps 1:1.
+
+    Returns the four post-pool stages (64/2×, 128/4×, 256/8×, 512/16×).
+    """
+
+    kernel_init: Callable = make_initializer("xavier")
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> List[jax.Array]:
+        cfg = [("conv1", (64, 64)), ("conv2", (128, 128)),
+               ("conv3", (256, 256, 256)), ("conv4", (512, 512, 512))]
+        outs = []
+        h = x
+        for stage, chans in cfg:
+            for j, c in enumerate(chans):
+                h = Conv(c, 3, padding=1, use_bias=True,
+                         kernel_init=self.kernel_init, dtype=self.dtype,
+                         name=f"{stage}_{2 * j}")(h)
+                h = nn.relu(h)
+            h = max_pool(h, 2, 2)  # reference pools AFTER each conv stack
+            outs.append(h)
+        return outs
+
+
+class PreUNet16(nn.Module):
+    """_PreUNet16 (reference models/seg_network.py:353-439): VGG16-encoder
+    U-Net task net with multi-scale side outputs.
+
+    Returns [center_in (512-ch /16 features), output4 (/8), output3 (/4),
+    output2 (/2), output1 (full res)] — same contract as the reference's
+    ``result`` list.
+
+    Latent reference bug (documented, not copied): for ``layers > 4`` the
+    reference's up loop concatenates ``center_out`` (spatially upsampled by
+    the center's _DecoderUpBlock) with the *deepest* ``middle`` entry —
+    mismatched spatial sizes, so torch raises at runtime too. Only the
+    factory default ``layers=4`` (no extra down/up pairs) is functional, and
+    that is what this module implements faithfully.
+    """
+
+    output_nc: int
+    ngf: int = 64
+    layers: int = 4
+    norm: str = "batch"
+    activation: str = "PReLU"
+    drop_rate: float = 0.0
+    init_type: str = "xavier"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.layers != 4:
+            raise NotImplementedError(
+                "reference _PreUNet16 is only shape-consistent at layers=4 "
+                "(see class docstring)")
+        from ..ops import resize_bilinear
+
+        act = make_activation(self.activation, self)
+        use_bias = norm_uses_bias(self.norm)
+        kinit = make_initializer(self.init_type)
+        kw = dict(norm=self.norm, use_bias=use_bias, kernel_init=kinit,
+                  dtype=self.dtype)
+        up2 = lambda t: resize_bilinear(  # noqa: E731
+            t, (t.shape[1] * 2, t.shape[2] * 2), align_corners=True)
+
+        c1, c2, c3, center_in = VGG16Features(
+            kernel_init=kinit, dtype=self.dtype, name="vgg")(x)
+        result = [center_in]
+
+        # center: (7-layers) InceptionBlocks of width (7-layers), then an
+        # upsampling DecoderUpBlock (reference :381-388)
+        h = center_in
+        for i in range(7 - self.layers):
+            h = InceptionBlock(self.ngf * 8, width=7 - self.layers,
+                               drop_rate=self.drop_rate,
+                               name=f"center{i}", **kw)(h, train=train,
+                                                        act=act)
+        h = DecoderUpBlock(self.ngf * 8, self.ngf * 4,
+                           name="center_up", **kw)(h, train=train, act=act)
+
+        cat4 = jnp.concatenate([h, c3 * 0.1], axis=-1)
+        deconv4 = DecoderUpBlock(self.ngf * 8, self.ngf * 2,
+                                 name="deconv4", **kw)(cat4, train=train,
+                                                       act=act)
+        output4 = OutputBlock(self.output_nc, 3, use_bias=use_bias,
+                              kernel_init=kinit, dtype=self.dtype,
+                              name="output4")(cat4)
+        result.append(output4)
+
+        cat3 = jnp.concatenate([deconv4, c2 * 0.05, up2(output4)], axis=-1)
+        deconv3 = DecoderUpBlock(self.ngf * 4, self.ngf,
+                                 name="deconv3", **kw)(cat3, train=train,
+                                                       act=act)
+        output3 = OutputBlock(self.output_nc, 3, use_bias=use_bias,
+                              kernel_init=kinit, dtype=self.dtype,
+                              name="output3")(cat3)
+        result.append(output3)
+
+        cat2 = jnp.concatenate([deconv3, c1 * 0.01, up2(output3)], axis=-1)
+        deconv2 = DecoderUpBlock(self.ngf * 2, self.ngf // 2,
+                                 name="deconv2", **kw)(cat2, train=train,
+                                                       act=act)
+        output2 = OutputBlock(self.output_nc, 3, use_bias=use_bias,
+                              kernel_init=kinit, dtype=self.dtype,
+                              name="output2")(cat2)
+        result.append(output2)
+
+        output1 = OutputBlock(self.output_nc, 7, use_bias=use_bias,
+                              kernel_init=kinit, dtype=self.dtype,
+                              name="deconv1")(
+            jnp.concatenate([deconv2, up2(output2)], axis=-1))
+        result.append(output1)
+        return result
+
+
 class Discriminator(nn.Module):
     """_Discriminator (seg_network.py:585-626) — PatchGAN with PReLU."""
 
@@ -476,6 +597,13 @@ def define_task_G(ngf: int = 64, layers: int = 4, norm: str = "batch",
                              activation=activation, drop_rate=drop_rate,
                              add_noise=add_noise, weight=weight,
                              init_type=init_type, dtype=dtype)
+    if model_type == "PreUNet16":
+        # the VGG16-encoder variant the reference keeps one line away from
+        # the UNet in define_G (models/seg_network.py:118-120)
+        return PreUNet16(output_nc=output_nc, ngf=ngf, layers=layers,
+                         norm=norm, activation=activation,
+                         drop_rate=drop_rate, init_type=init_type,
+                         dtype=dtype)
     raise NotImplementedError(f"model type [{model_type}] is not implemented")
 
 

@@ -366,6 +366,71 @@ def import_segd(sd: Mapping[str, np.ndarray], up_scale: int) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def import_preunet16(sd: Mapping[str, np.ndarray], layers: int = 4
+                     ) -> Dict[str, Any]:
+    """Import a reference _PreUNet16 state dict (models/seg_network.py:353-439)
+    into our `models.seg_network.PreUNet16` variables.
+
+    The torch names follow the reference's Sequential packing: the VGG16
+    encoder stacks renumber torchvision's ``features.{0,2,5,…}`` as
+    ``conv1.{0,2}`` / ``conv2.{0,2}`` / ``conv3.{0,2,4}`` / ``conv4.{0,2,4}``;
+    _InceptionBlock convs live at ``layer{i}.1`` / ``branch1x1.1`` (index 1:
+    after the ReflectionPad2d), _DecoderUpBlock at ``model.{1,2,4,5}`` and
+    _OutputBlock at ``model.1``. The shared PReLU appears under several
+    aliases of the same tensor — any one supplies ``prelu_alpha``.
+    """
+    if layers != 4:
+        raise NotImplementedError("reference _PreUNet16 is only functional "
+                                  "at layers=4 (see PreUNet16 docstring)")
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    vgg: Dict[str, Any] = {}
+    for stage, idxs in (("conv1", (0, 2)), ("conv2", (0, 2)),
+                        ("conv3", (0, 2, 4)), ("conv4", (0, 2, 4))):
+        for j in idxs:
+            vgg[f"{stage}_{j}"] = _conv_entry(sd, f"{stage}.{j}")
+    params["vgg"] = vgg
+
+    def inception(prefix: str, width: int):
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for i in range(width):
+            p[f"branch{i}"] = _conv_entry(sd, f"{prefix}.layer{i}.1")
+        p["fuse1x1"] = _conv_entry(sd, f"{prefix}.branch1x1.1")
+        p["norm1"], s["norm1"] = _bn(sd, f"{prefix}.norm1")
+        p["norm2"], s["norm2"] = _bn(sd, f"{prefix}.norm2")
+        return p, s
+
+    def dec_up(prefix: str):
+        p: Dict[str, Any] = {"conv": _conv_entry(sd, f"{prefix}.model.1"),
+                             "up": _conv_entry(sd, f"{prefix}.model.4",
+                                               transposed=True)}
+        s: Dict[str, Any] = {}
+        p["norm1"], s["norm1"] = _bn(sd, f"{prefix}.model.2")
+        p["norm2"], s["norm2"] = _bn(sd, f"{prefix}.model.5")
+        return p, s
+
+    width = 7 - layers
+    for i in range(width):
+        params[f"center{i}"], stats[f"center{i}"] = inception(f"center.{i}",
+                                                              width)
+    params["center_up"], stats["center_up"] = dec_up(f"center.{width}")
+    for name in ("deconv4", "deconv3", "deconv2"):
+        params[name], stats[name] = dec_up(name)
+    for name in ("output4", "output3", "output2", "deconv1"):
+        params[name] = {"conv": _conv_entry(sd, f"{name}.model.1")}
+
+    for key in sd:
+        if key.endswith("nonlinearity.weight") and sd[key].shape == (1,):
+            params["prelu_alpha"] = _np(sd[key])
+            break
+    else:
+        params["prelu_alpha"] = np.full((1,), 0.25, np.float32)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
                                 block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
     """Import a torchvision DenseNet state dict (densenet121/169) into our
