@@ -74,9 +74,10 @@ class S2DModel(BaseModel):
         }
 
     # ------------------------------------------------------------------
-    def init_state(self, rng: jax.Array) -> ModelState:
+    def init_state(self, rng: jax.Array, hw=None) -> ModelState:
         cfg = self.cfg
-        h, w = cfg.fine_size, cfg.fine_size * 3  # try_data is 192×576
+        # try_data is 192×576; ``hw`` overrides for tests/small runs
+        h, w = hw or (cfg.fine_size, cfg.fine_size * 3)
         keys = jax.random.split(rng, 6)
         x = jnp.zeros((1, h, w, 3), jnp.float32)
         vG1 = self.net_G_1.init(keys[0], x)
@@ -93,7 +94,7 @@ class S2DModel(BaseModel):
         stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
         return ModelState(
             params=params, batch_stats=stats,
-            opt_states={k: self.opts[k].init(params[k]) for k in self.opts},
+            opt_states={k: self.opts[k].init(params[k]) for k in params},
             pools={}, step=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
@@ -196,9 +197,11 @@ class S2DModel(BaseModel):
                                 feats[2], train=False)
             loss = seg_loss + 0.2 * (gan_loss(p1, False) + gan_loss(p2, False)
                                      + gan_loss(p3, False))
-            return loss, (feats, dep_o, s_rd)
+            # subclass hook (semantic_trans: multi-res depth discriminators)
+            loss = loss + self._rd_real_adv_extra(params, stats, dep_4, dep_o)
+            return loss, (feats, dep_4, dep_o, s_rd)
 
-        (loss_rd_real, (r_feats, real_dep_o, s_rd)), rd_grads = (
+        (loss_rd_real, (r_feats, real_dep_4, real_dep_o, s_rd)), rd_grads = (
             jax.value_and_grad(rd_real_loss_fn, has_aux=True)(params["R_D"]))
         upd, opt_states["R_D"] = self.opts["R_D"].update(
             rd_grads, opt_states["R_D"], params["R_D"])
@@ -217,10 +220,11 @@ class S2DModel(BaseModel):
                 dep_loss = dep_loss + bce_dep_loss(sky * band,
                                                    sky4 * syn_dep_ls, oms, zms)
             seg_loss = cross_entropy_loss(seg, syn_seg_l, 255)
-            return dep_loss + seg_loss, (feats, dep_o, dep_loss, s_rd)
+            return dep_loss + seg_loss, (feats, dep_4, dep_o, dep_loss, s_rd)
 
-        (loss_rd_syn, (s_feats, syn_dep_o, dep_ref_loss, s_rd)), rd_grads = (
-            jax.value_and_grad(rd_syn_loss_fn, has_aux=True)(params["R_D"]))
+        (loss_rd_syn, (s_feats, syn_dep_4, syn_dep_o, dep_ref_loss, s_rd)), \
+            rd_grads = (
+                jax.value_and_grad(rd_syn_loss_fn, has_aux=True)(params["R_D"]))
         upd, opt_states["R_D"] = self.opts["R_D"].update(
             rd_grads, opt_states["R_D"], params["R_D"])
         params["R_D"] = optax.apply_updates(params["R_D"], upd)
@@ -249,9 +253,25 @@ class S2DModel(BaseModel):
             fd_total = fd_total + fd_loss
         metrics["FD"] = fd_total
 
+        # subclass hook (semantic_trans: DIS / Dis_160 / Dis_320 updates + GP)
+        ctx = dict(real_dep_ref=real_dep_ref,
+                   syn_dep_ref=jax.lax.stop_gradient(syn_dep_o),
+                   real_dep_4=[jax.lax.stop_gradient(b) for b in real_dep_4],
+                   syn_dep_4=[jax.lax.stop_gradient(b) for b in syn_dep_4],
+                   syn_seg_l=syn_seg_l, real_seg_l=real_seg_l)
+        params, stats, opt_states, metrics = self._post_phases(
+            params, stats, opt_states, metrics, ctx, rng)
+
         new_state = state.replace(params=params, batch_stats=stats,
                                   opt_states=opt_states, step=state.step + 1)
         return new_state, self.metrics_dict(**metrics)
+
+    # ---- subclass hooks (no-ops in the new_multi end-state) -------------
+    def _rd_real_adv_extra(self, params, stats, dep_4, dep_o):
+        return jnp.zeros((), jnp.float32)
+
+    def _post_phases(self, params, stats, opt_states, metrics, ctx, rng):
+        return params, stats, opt_states, metrics
 
     # ------------------------------------------------------------------
     def _forward_eval(self, state: ModelState, batch):

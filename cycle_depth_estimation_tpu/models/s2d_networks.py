@@ -745,3 +745,164 @@ CLASS_WEIGHTS_28 = (
     1.4, 0.8, 1.2, 1.4, 1.3, 0.8, 1.3, 1.4, 1.4, 1.4, 1.4, 1.4, 1.4, 1.5,
     1.5, 1.2, 1.3, 1.1, 2.0, 2.0, 1.1, 1.8, 1.8, 1.8, 1.8, 1.8, 1.8, 1.8,
 )
+
+
+def calc_gradient_penalty(d_fn, x_real: jax.Array, x_fake: jax.Array,
+                          rng: jax.Array, lambda_: float = 10.0) -> jax.Array:
+    """WGAN-GP gradient penalty (reference my_seg_depth/trymulti/
+    semantic_trans/model5.py:354-382), the reference's only GP objective.
+
+    Reference quirks kept (documented, not "fixed"):
+    - only batch element 0 is interpolated; the rest of ``interpolates``
+      stays the real data (the reference trains at batch size 1, where the
+      two coincide);
+    - the gradient norm is taken over the CHANNEL axis only
+      (``gradients.norm(2, dim=1)``), i.e. a per-pixel norm, not the
+      standard per-sample norm over all non-batch axes.
+
+    ``d_fn`` maps the NHWC input to the discriminator output. A small eps
+    stabilizes the second derivative of the norm at exactly-zero gradients
+    (torch's ``.norm`` backward has the same 0/0 there).
+    """
+    alpha = jax.random.uniform(rng, (), jnp.float32)
+    interp = x_real.astype(jnp.float32)
+    interp = interp.at[0].set(alpha * interp[0]
+                              + (1.0 - alpha) * x_fake[0].astype(jnp.float32))
+
+    grads = jax.grad(lambda x: jnp.sum(d_fn(x).astype(jnp.float32)))(interp)
+    gnorm = jnp.sqrt(jnp.sum(grads * grads, axis=-1) + 1e-12)
+    return lambda_ * jnp.mean((gnorm - 1.0) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# base-generation alternate pipeline (my_seg_depth/networks.py, driven by
+# my_seg_depth/train.py:221-409) + new_depseg additions
+#
+# NOTE on `Seg2Feature` (SURVEY row 34): in EVERY reference snapshot that
+# declares it (my_seg_depth/{deeperfeatures,deeperfeatures/dilated,
+# new_depseg}/networks2.py, deeperfeatures/dilated/network_s1.py,
+# trymulti/semantic_trans/networks5_ds.py — e.g. new_depseg/networks2.py:
+# 349-351) the class body is `super().__init__()` and nothing else: no
+# layers, no forward, never instantiated. It is an abandoned placeholder in
+# the reference, documented here rather than invented.
+# ---------------------------------------------------------------------------
+
+
+def adaptive_avg_pool(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """torch nn.AdaptiveAvgPool2d semantics on NHWC: bin i of an axis covers
+    [floor(i·L/s), ceil((i+1)·L/s)) — non-uniform when s ∤ L."""
+
+    def pool_axis(t, out_len, axis):
+        in_len = t.shape[axis]
+        slabs = []
+        for i in range(out_len):
+            lo = (i * in_len) // out_len
+            hi = -(-((i + 1) * in_len) // out_len)
+            sl = jax.lax.slice_in_dim(t, lo, hi, axis=axis)
+            slabs.append(jnp.mean(sl, axis=axis, keepdims=True))
+        return jnp.concatenate(slabs, axis=axis)
+
+    return pool_axis(pool_axis(x, size[0], 1), size[1], 2)
+
+
+class PSPModule(nn.Module):
+    """PSPModule (my_seg_depth/networks.py:12-30): adaptive-avg-pool pyramid
+    (1, 2, 3, 6) → per-scale 1×1 conv (no bias) → bilinear upsample back
+    (torch-0.4 ``F.upsample`` default, align_corners=False) → concat with the
+    input → 1×1 bottleneck → ReLU."""
+
+    out_features: int = 1024
+    sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, h, w, c = x.shape
+        priors = []
+        for i, s in enumerate(self.sizes):
+            p = adaptive_avg_pool(x, (s, s))
+            p = Conv(c, 1, use_bias=False, kernel_init=normal02,
+                     dtype=self.dtype, name=f"stage{i}_conv")(p)
+            priors.append(resize_bilinear(p, (h, w), align_corners=False))
+        priors.append(x)
+        out = Conv(self.out_features, 1, use_bias=True, kernel_init=normal02,
+                   dtype=self.dtype, name="bottleneck")(
+            jnp.concatenate(priors, axis=-1))
+        return nn.relu(out)
+
+
+class FeatureNet(nn.Module):
+    """Feature_net (my_seg_depth/networks.py:226-288): the base generation's
+    alternate feature pipeline — a *stemless* DenseNet (growth 48, blocks
+    (6, 8, 8)) over an already-extracted feature map, ending in the same
+    4-branch dilated PSP head as General_net.
+
+    Returns ``(features, psp_out)`` where ``features`` are the three dense
+    block outputs (the reference collects every even-indexed module of its
+    Sequential — exactly the blocks, networks.py:271-276).
+    """
+
+    mid_nc: int = 1024
+    growth_rate: int = 48
+    block_config: Sequence[int] = (6, 8, 8)
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        features: List[jax.Array] = []
+        h = x
+        num_features = x.shape[-1]
+        for i, num_layers in enumerate(self.block_config):
+            h = DenseBlock(num_layers, self.growth_rate, self.bn_size,
+                           self.drop_rate, self.dtype,
+                           name=f"denseblock{i + 1}")(h, train=train)
+            num_features += num_layers * self.growth_rate
+            features.append(h)
+            if i != len(self.block_config) - 1:
+                h = Transition(num_features // 2, self.dtype,
+                               name=f"transition{i + 1}")(h, train=train)
+                num_features //= 2
+        # 4-branch dilated PSP head (networks.py:252-266 = the General_net
+        # head, forward networks.py:277-287)
+        q = self.mid_nc // 4
+        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
+        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
+                  name="psp_b0")(h)
+        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
+                  dtype=self.dtype, name="psp_b1")(h)
+        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
+        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
+                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
+        out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+        out = Norm("batch", name="psp_norm_out")(out, train=train)
+        return features, out
+
+
+class DiscriminatorSeg(nn.Module):
+    """Discriminator_seg (new_depseg/networks2.py:462-494): 1×1 channel-
+    halving stack (1024 → 512 → 256 → 128) with LeakyReLU(0.01), then a 1×1
+    head to 28 per-pixel class logits (no bias) + LeakyReLU. Driven on the
+    1024-ch PSP features with WGAN-GP and an SGD optimizer in
+    new_depseg/model2.py:235,291,344-352. The dilated/G2Blocks generations
+    instantiate the same shape at conv_dim 256 (SURVEY rows 31, 33)."""
+
+    conv_dim: int = 1024
+    repeat_num: int = 3
+    n_cls: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = x
+        dim = self.conv_dim
+        for i in range(self.repeat_num):
+            dim //= 2
+            h = Conv(dim, 1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.leaky_relu(h, 0.01)
+        h = Conv(self.n_cls, 1, use_bias=False, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        return nn.leaky_relu(h, 0.01)
