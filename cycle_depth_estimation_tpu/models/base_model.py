@@ -115,12 +115,18 @@ class BaseModel:
             state = jax.device_put(state, jax.devices()[0])
         return state
 
+    #: donate the input state's buffers to the jitted train step. Train
+    #: loops enable this (the old state is dead after the step — params +
+    #: both Adam moments of a 77M-param model are ~0.9 GB of HBM that XLA
+    #: can then update in place); tests/notebooks that keep the previous
+    #: state for comparison leave it off (the default).
+    donate_state: bool = False
+
     def train_step(self, state: ModelState, batch, rng: jax.Array):
         if self._train_step_jit is None:
-            # NOTE: no buffer donation — callers (train loops, tests) may hold
-            # the previous state for logging/compare; activations dominate HBM
-            # here, not params.
-            self._train_step_jit = jax.jit(self._step_train)
+            donate = (0,) if self.donate_state else ()
+            self._train_step_jit = jax.jit(self._step_train,
+                                           donate_argnums=donate)
         return self._train_step_jit(state, batch, rng)
 
     def eval_step(self, state: ModelState, batch):

@@ -56,11 +56,46 @@ def eval_depth_pair(gt: np.ndarray, pred: np.ndarray) -> Optional[Dict[str, floa
     return dict(zip(DEPTH_METRIC_NAMES, vals))
 
 
+def imread_gray8(path: str) -> np.ndarray:
+    """``cv2.imread(path, 0)`` semantics (the reference's GT/pred reader,
+    my_eval.py:52-54): 16-bit PNGs convert to 8-bit by ``>> 8``.
+
+    PIL's ``.convert("L")`` on 16-bit files SATURATES at 255 instead
+    (verified empirically) — on KITTI ``val_selection_cropped`` ground truth
+    (uint16, meters×256) that would clamp everything beyond 1 m. cv2 is used
+    when present; the fallback reproduces the shift explicitly.
+    """
+    try:
+        import cv2
+
+        return cv2.imread(path, 0)
+    except ImportError:
+        from PIL import Image
+
+        arr = np.array(Image.open(path))
+        if arr.ndim == 3:  # RGB → cv2's BGR-weighted luma
+            arr = (0.114 * arr[..., 2] + 0.587 * arr[..., 1]
+                   + 0.299 * arr[..., 0]).round()
+        if arr.dtype == np.uint16 or arr.dtype == np.int32:
+            arr = arr >> 8
+        return arr.astype(np.uint8)
+
+
+def _resize_linear(img: np.ndarray, size_wh) -> np.ndarray:
+    """``cv2.resize`` default INTER_LINEAR (reference my_eval.py:54)."""
+    try:
+        import cv2
+
+        return cv2.resize(img, size_wh)
+    except ImportError:
+        from PIL import Image
+
+        return np.array(Image.fromarray(img).resize(size_wh, Image.BILINEAR))
+
+
 def eval_depth_dirs(gt_dir: str, pred_dir: str) -> Dict[str, float]:
     """Directory-level harness (reference eval_metric, my_eval.py:35-108):
     grayscale reads, pred resized to gt size, averaged over common files."""
-    from PIL import Image
-
     files = sorted(os.listdir(gt_dir))
     pred_files = set(os.listdir(pred_dir))
     acc = {k: 0.0 for k in DEPTH_METRIC_NAMES}
@@ -68,9 +103,9 @@ def eval_depth_dirs(gt_dir: str, pred_dir: str) -> Dict[str, float]:
     for f in files:
         if f not in pred_files:
             continue
-        gt = np.array(Image.open(os.path.join(gt_dir, f)).convert("L"))
-        pred_img = Image.open(os.path.join(pred_dir, f)).convert("L")
-        pred = np.array(pred_img.resize((gt.shape[1], gt.shape[0]), Image.BILINEAR))
+        gt = imread_gray8(os.path.join(gt_dir, f))
+        pred = _resize_linear(imread_gray8(os.path.join(pred_dir, f)),
+                              (gt.shape[1], gt.shape[0]))
         m = eval_depth_pair(gt, pred)
         if m is None:
             continue

@@ -431,6 +431,24 @@ def import_preunet16(sd: Mapping[str, np.ndarray], layers: int = 4
     return {"params": params, "batch_stats": stats}
 
 
+def import_discriminator2_seg(sd: Mapping[str, np.ndarray],
+                              repeat_num: int = 3) -> Dict[str, Any]:
+    """Import a reference Discriminator2_seg state dict (the checked-in
+    ``iter_4000_net_Dis0_en.pth``; net at new_multi/networks5_ds.py:842-864)
+    into our `models.s2d_networks.Discriminator2Seg` variables. The torch
+    Sequential packs [conv, LeakyReLU, BN] triples: convs at main.{0,3,6},
+    BNs at main.{2,5,8}; the stride-2 head is ``conv1``.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(repeat_num):
+        params[f"conv{i}"] = _conv_entry(sd, f"main.{3 * i}")
+        params[f"norm{i}"], stats[f"norm{i}"] = _bn(sd, f"main.{3 * i + 2}")
+    params["head"] = _conv_entry(sd, "conv1")
+    return {"params": params, "batch_stats": stats}
+
+
 def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
                                 block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
     """Import a torchvision DenseNet state dict (densenet121/169) into our

@@ -494,3 +494,44 @@ def test_torchvision_densenet_import_parity():
         np.testing.assert_allclose(np.asarray(mine),
                                    ref.numpy().transpose(0, 2, 3, 1),
                                    atol=2e-3, rtol=1e-2)
+
+
+DIS0_PTH = "/root/reference/new_multi/checkpoints/iter_4000_net_Dis0_en.pth"
+
+
+@pytest.mark.skipif(not os.path.exists(DIS0_PTH), reason="reference ckpt absent")
+def test_dis0_en_parity_vs_reference_checkpoint():
+    """The second real checked-in checkpoint (Discriminator2_seg) through the
+    importer vs a torch oracle with the reference structure
+    (new_multi/networks5_ds.py:842-864)."""
+    from cycle_depth_estimation_tpu.models.s2d_networks import Discriminator2Seg
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_discriminator2_seg,
+    )
+
+    sd = torch.load(DIS0_PTH, map_location="cpu")
+    sd = {k[7:]: v for k, v in sd.items()}  # strip DataParallel prefix
+
+    layers = []
+    dim = 1024
+    for _ in range(3):
+        layers += [tnn.Conv2d(dim, dim // 2, 1), tnn.LeakyReLU(0.01),
+                   tnn.BatchNorm2d(dim // 2)]
+        dim //= 2
+    tnet = tnn.Sequential()
+    tnet.main = tnn.Sequential(*layers)
+    tnet.conv1 = tnn.Conv2d(dim, 1, 3, 2, 1, bias=False)
+    tnet.load_state_dict(sd)
+    tnet.eval()
+    x = RNG.randn(1, 8, 12, 1024).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = torch.sigmoid(
+            tnet.conv1(tnet.main(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+        ).squeeze(1).numpy()
+
+    variables = import_discriminator2_seg(load_pth(DIS0_PTH))
+    d = Discriminator2Seg()
+    out = d.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x),
+                  train=False)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)

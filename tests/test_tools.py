@@ -106,3 +106,25 @@ def test_make_dataset_aligned(tmp_path):
     assert n == 2
     im = Image.open(os.path.join(out, "p0.png"))
     assert im.size == (64, 32)
+
+
+def test_imread_gray8_matches_cv2_on_16bit(tmp_path):
+    """Reference reads KITTI 16-bit GT with cv2.imread(f, 0) — an >>8
+    conversion. PIL .convert('L') saturates at 255 instead (the round-1
+    divergence risk); imread_gray8 must follow cv2."""
+    from cycle_depth_estimation_tpu.utils.metrics import imread_gray8
+
+    # KITTI-style uint16 depth png (meters × 256), values beyond 1 m
+    d16 = (RNG.rand(12, 16) * 50 * 256).astype(np.uint16)
+    p = str(tmp_path / "gt16.png")
+    im = Image.new("I;16", (16, 12))
+    im.putdata([int(v) for v in d16.ravel()])
+    im.save(p)
+    out = imread_gray8(p)
+    np.testing.assert_array_equal(out, (d16 >> 8).astype(np.uint8))
+    try:
+        import cv2
+
+        np.testing.assert_array_equal(out, cv2.imread(p, 0))
+    except ImportError:
+        pass

@@ -43,6 +43,7 @@ def main(argv=None):
 
     mesh = make_mesh(cfg.mesh_shape)
     model = create_model(cfg)
+    model.donate_state = True  # old state is dead each step; update in place
     state = model.init_state_on_host(jax.random.key(cfg.seed))
     if cfg.continue_train:
         state = model.load_networks(state, cfg.epoch)
