@@ -138,6 +138,14 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # default: all devices on 'data'
     prefetch_depth: int = 2
     tpu_precision: str = "default"  # 'default' | 'highest' (parity runs)
+    # multi-host (SURVEY.md §2.3 DCN row): when coordinator_address is set,
+    # train.py calls jax.distributed.initialize before any jax use; every
+    # process runs the same program over the global mesh. See
+    # tools/launch_multihost.py for a local 2-process CPU demo.
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_index: int = 0
+    async_checkpoint: bool = False  # orbax AsyncCheckpointer in save_networks
     platform: str = "default"       # 'default' | 'cpu' | 'tpu' | 'axon'
 
     def expr_dir(self) -> str:

@@ -99,18 +99,22 @@ def prefetch_to_device(iterator, mesh=None, depth: int = 2):
 
     import jax
 
-    from ..parallel.mesh import batch_sharding
-
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    from ..parallel.mesh import host_shard_batch
 
     def put(batch):
-        def leaf(x):
-            if isinstance(x, np.ndarray):
-                return jax.device_put(x, sharding) if sharding is not None \
-                    else jax.device_put(x)
-            return x
-
-        return {k: leaf(v) for k, v in batch.items()}
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        others = {k: v for k, v in batch.items() if k not in arrays}
+        if jax.process_count() > 1:
+            # every process loads the same (seed-synchronized) global batch;
+            # each contributes its process-local slice to the global array
+            pc, pi = jax.process_count(), jax.process_index()
+            arrays = {k: v[pi * (len(v) // pc):(pi + 1) * (len(v) // pc)]
+                      for k, v in arrays.items()}
+        if mesh is not None:
+            arrays = host_shard_batch(mesh, arrays)
+        else:
+            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+        return {**arrays, **others}
 
     queue = collections.deque()
     it = iter(iterator)

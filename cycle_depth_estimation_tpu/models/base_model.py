@@ -158,16 +158,34 @@ class BaseModel:
     def _ckpt_dir(self, epoch: str) -> str:
         return os.path.abspath(os.path.join(self.cfg.expr_dir(), f"ckpt_{epoch}"))
 
+    _async_ckptr = None
+
     def save_networks(self, state: ModelState, epoch) -> str:
         """Orbax whole-state checkpoint (reference saved per-net .pth,
-        models/base_model.py:102-114)."""
+        models/base_model.py:102-114).
+
+        With cfg.async_checkpoint the save runs in the background
+        (StandardCheckpointer is an AsyncCheckpointer under the hood): the
+        device→host copy happens now, serialization overlaps the next train
+        steps. Call `finish_checkpoints()` before exit/restore.
+        """
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(str(epoch))
+        if getattr(self.cfg, "async_checkpoint", False):
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.StandardCheckpointer()
+            self._async_ckptr.save(path, jax.device_get(state), force=True)
+            return path
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
         return path
+
+    def finish_checkpoints(self):
+        """Block until pending async saves are durable."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
 
     def load_networks(self, state: ModelState, epoch) -> ModelState:
         import orbax.checkpoint as ocp

@@ -102,6 +102,15 @@ class S2DModel(BaseModel):
         """1 everywhere except the sky class (model5.py:528-531), NHW1."""
         return (seg_l != self.SKY_CLASS).astype(jnp.float32)[..., None]
 
+    def _rematable(self, f):
+        """With cfg.remat, rematerialize a sub-network application inside a
+        phase's loss: each phase holds a full DenseNet-169 trunk (and/or
+        refiner) activation set live for its backward pass — the dominant
+        HBM cost at 576×192. `jax.checkpoint` recomputes them instead,
+        trading ~⅓ more trunk FLOPs for batch headroom (measured numbers in
+        README's S2D perf table)."""
+        return jax.checkpoint(f) if self.cfg.remat else f
+
     def _step_train(self, state: ModelState, batch, rng):
         cfg = self.cfg
         syn_img, real_img = batch["img_syn"], batch["img_real"]
@@ -122,20 +131,23 @@ class S2DModel(BaseModel):
                                        syn_img, train=True)
         ss = jax.lax.stop_gradient(ss)
 
+        g2_s = self._rematable(
+            lambda p, s, x: self._apply(self.net_G_2, p, s, x, "S", train=True))
+        g2_r = self._rematable(
+            lambda p, s, x: self._apply(self.net_G_2, p, s, x, "R", train=True))
+        rd = self._rematable(
+            lambda p, s, f, d: self._apply(self.net_R_D, p, s, f, d, train=True))
+
         def g2_loss_fn(g2p):
             s = stats["G_2"]
-            (syn_psp, syn_feats), s = self._apply(self.net_G_2, g2p, s, ss, "S",
-                                                  train=True)
-            (rf, seg, (dep_4, dep_o)), s_rd = self._apply(
-                self.net_R_D, params["R_D"], stats["R_D"], syn_feats, syn_psp,
-                train=True)
+            (syn_psp, syn_feats), s = g2_s(g2p, s, ss)
+            (rf, seg, (dep_4, dep_o)), s_rd = rd(
+                params["R_D"], stats["R_D"], syn_feats, syn_psp)
             dep_loss = l1_loss(dep_o, sky * syn_dep_l)
             seg_loss_syn = cross_entropy_loss(seg, syn_seg_l, 255)
-            (real_psp, real_feats), s = self._apply(self.net_G_2, g2p, s,
-                                                    real_img, "R", train=True)
-            (_, seg_r, _), s_rd = self._apply(
-                self.net_R_D, params["R_D"], s_rd, real_feats, real_psp,
-                train=True)
+            (real_psp, real_feats), s = g2_r(g2p, s, real_img)
+            (_, seg_r, _), s_rd = rd(
+                params["R_D"], s_rd, real_feats, real_psp)
             seg_loss_real = cross_entropy_loss(seg_r, real_seg_l, 255)
             total = dep_loss + seg_loss_syn + 2.0 * seg_loss_real
             aux = dict(syn_psp=syn_psp, syn_feats=syn_feats, real_psp=real_psp,
@@ -166,11 +178,9 @@ class S2DModel(BaseModel):
         def g1_loss_fn(g1p):
             s1 = stats["G_1"]
             h, s1 = self._apply(self.net_G_1, g1p, s1, syn_img, train=True)
-            (psp, feats), s2 = self._apply(self.net_G_2, params["G_2"],
-                                           stats["G_2"], h, "S", train=True)
-            (_, seg, (_, dep_o)), s_rd = self._apply(
-                self.net_R_D, params["R_D"], stats["R_D"], feats, psp,
-                train=True)
+            (psp, feats), s2 = g2_s(params["G_2"], stats["G_2"], h)
+            (_, seg, (_, dep_o)), s_rd = rd(
+                params["R_D"], stats["R_D"], feats, psp)
             loss = (l1_loss(dep_o, syn_dep_l)
                     + cross_entropy_loss(seg, syn_seg_l, 255))
             return loss, (s1, s2, s_rd)
@@ -185,9 +195,8 @@ class S2DModel(BaseModel):
 
         # ================= phase 3a: R_D real =================
         def rd_real_loss_fn(rdp):
-            (feats, seg, (dep_4, dep_o)), s_rd = self._apply(
-                self.net_R_D, rdp, stats["R_D"], real_feats, real_psp,
-                train=True)
+            (feats, seg, (dep_4, dep_o)), s_rd = rd(
+                rdp, stats["R_D"], real_feats, real_psp)
             seg_loss = cross_entropy_loss(seg, real_seg_l, 255)
             p1, _ = self._apply(self.net_FD1, params["FD1"], stats["FD1"],
                                 feats[0], train=False)
@@ -213,8 +222,8 @@ class S2DModel(BaseModel):
 
         # ================= phase 3b: R_D syn =================
         def rd_syn_loss_fn(rdp):
-            (feats, seg, (dep_4, dep_o)), s_rd = self._apply(
-                self.net_R_D, rdp, stats["R_D"], syn_feats, syn_psp, train=True)
+            (feats, seg, (dep_4, dep_o)), s_rd = rd(
+                rdp, stats["R_D"], syn_feats, syn_psp)
             dep_loss = l1_loss(dep_o, sky * syn_dep_l)
             for band in dep_4:
                 dep_loss = dep_loss + bce_dep_loss(sky * band,

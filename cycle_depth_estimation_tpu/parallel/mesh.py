@@ -53,6 +53,16 @@ def host_shard_batch(mesh: Mesh, batch, axis: str = "data"):
     This is the host→HBM boundary (the reference's ``.cuda()`` in
     ``set_input``, e.g. models/cycle_gan_model.py:76-77) — one transfer per
     step, sliced across devices.
+
+    Multi-process (multi-host) meshes: each process passes its PROCESS-LOCAL
+    slice of the global batch (global_batch/process_count leading rows, in
+    process-index order) and the global array is assembled with
+    `jax.make_array_from_process_local_data` — the DCN-spanning analogue of
+    the same boundary.
     """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -32,6 +32,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", cfg.platform)
     if cfg.tpu_precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg.coordinator_address:
+        # multi-host: same program on every process, one global mesh over
+        # DCN (SURVEY.md §2.3 — the reference is single-process only)
+        jax.distributed.initialize(cfg.coordinator_address,
+                                   num_processes=cfg.num_processes,
+                                   process_id=cfg.process_index)
 
     loader_train = create_dataloader(cfg, phase="train")
     try:
@@ -125,6 +131,7 @@ def main(argv=None):
               f"Time Taken: {time.time() - epoch_start:.0f} sec")
         visualizer.save_html(epoch)
         state = model.update_learning_rate(state, epoch)
+    model.finish_checkpoints()  # drain async saves before returning
     return state
 
 
