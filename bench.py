@@ -26,6 +26,7 @@ Measurement methodology (required on the axon-relay TPU backend):
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -101,5 +102,72 @@ def main():
     }))
 
 
+def main_s2d(batch: int = 1, remat: bool = False):
+    """Full new_multi S2D train-step throughput at 576×192 (DenseNet-169,
+    77M params, the reference's working point — try_data.py:166,436).
+
+    Not the driver default: init-on-host + compile of the 4-phase program
+    costs ~12 min over the axon relay. Perf table in README; run with
+    ``python bench.py --model S2D [--batch N] [--remat]``.
+    """
+    import numpy as np
+
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+    from cycle_depth_estimation_tpu.models.quantization import (
+        synthetic_calibration_batch,
+    )
+
+    cfg = apply_model_defaults(Config(model="S2D", batch_size=batch,
+                                      remat=remat))
+    model = create_model(cfg)
+    model.donate_state = True
+    state = model.init_state_on_host(jax.random.key(0))
+    h, w = 192, 576
+    rng = np.random.RandomState(0)
+
+    def simg(seed):
+        a = synthetic_calibration_batch(seed, batch, h).repeat(3, axis=2)
+        return jnp.asarray(a[:, :, :w, :])
+
+    batch_d = jax.device_put({
+        "img_syn": simg(1),
+        "img_real": simg(2),
+        "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(rng.randint(0, 28, (batch, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(rng.rand(batch, h, w, 1) * 2 - 1, jnp.float32),
+        "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
+                                 jnp.float32),
+    }, jax.devices()[0])
+
+    s = state
+    for i in range(2):
+        s, m = model.train_step(s, batch_d, jax.random.key(2 + i))
+    float(jax.device_get(m["G2"]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(4):
+            s, m = model.train_step(s, batch_d, jax.random.key(6 + i))
+        float(jax.device_get(m["G2"]))
+        best = min(best, (time.perf_counter() - t0) / 4)
+    print(json.dumps({
+        "metric": ("s2d_train_step_576x192_images_per_sec_per_chip"
+                   + ("_remat" if remat else "")),
+        "value": round(batch / best, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # the reference publishes no training throughput
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="generator",
+                    choices=["generator", "S2D"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+    if args.model == "S2D":
+        main_s2d(args.batch, args.remat)
+    else:
+        main()

@@ -257,9 +257,11 @@ def fused_int8_variables(static_vars: Dict[str, Any]) -> Dict[str, Any]:
             jax.tree.map(np.asarray, static_vars["params"][f"up{i}_conv"]))
         upq["act_scale"] = q[f"up{i}_conv"]["act_scale"]
         q[f"up{i}_conv"] = jax.tree.map(jnp.asarray, upq)
-    # fp up params kept for the bf16 up-stage mode (the production default —
-    # see fused_int8_apply perf note)
-    return {"qparams": q, "params": dict(static_vars["params"])}
+    # only the up-stage fp params are kept (for the bf16 up mode, the
+    # production default); the trunk runs purely from qparams
+    ups = {k: v for k, v in static_vars["params"].items()
+           if k.startswith("up")}
+    return {"qparams": q, "params": jax.tree.map(jnp.asarray, ups)}
 
 
 def _conv_q(x: jax.Array, kernel_q: jax.Array, stride: int = 1,
