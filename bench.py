@@ -102,7 +102,7 @@ def main():
     }))
 
 
-def main_s2d(batch: int = 1, remat: bool = False):
+def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32"):
     """Full new_multi S2D train-step throughput at 576×192 (DenseNet-169,
     77M params, the reference's working point — try_data.py:166,436).
 
@@ -119,7 +119,7 @@ def main_s2d(batch: int = 1, remat: bool = False):
     )
 
     cfg = apply_model_defaults(Config(model="S2D", batch_size=batch,
-                                      remat=remat))
+                                      remat=remat, dtype=dtype))
     model = create_model(cfg)
     model.donate_state = True
     state = model.init_state_on_host(jax.random.key(0))
@@ -130,33 +130,47 @@ def main_s2d(batch: int = 1, remat: bool = False):
         a = synthetic_calibration_batch(seed, batch, h).repeat(3, axis=2)
         return jnp.asarray(a[:, :, :w, :])
 
-    batch_d = jax.device_put({
-        "img_syn": simg(1),
-        "img_real": simg(2),
-        "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)), jnp.int32),
-        "seg_l_real": jnp.asarray(rng.randint(0, 28, (batch, h, w)), jnp.int32),
-        "dep_l_syn": jnp.asarray(rng.rand(batch, h, w, 1) * 2 - 1, jnp.float32),
-        "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
-                                 jnp.float32),
-    }, jax.devices()[0])
+    # training on the SAME batch every step blows up after ~10 steps
+    # (adversarial + BN pathology) — rotate batches like real training
+    def make_batch(j):
+        return jax.device_put({
+            "img_syn": simg(1 + 10 * j),
+            "img_real": simg(2 + 10 * j),
+            "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
+                                     jnp.int32),
+            "seg_l_real": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
+                                      jnp.int32),
+            "dep_l_syn": jnp.asarray(rng.rand(batch, h, w, 1) * 2 - 1,
+                                     jnp.float32),
+            "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
+                                     jnp.float32),
+        }, jax.devices()[0])
 
+    batches = [make_batch(j) for j in range(3)]
     s = state
     for i in range(2):
-        s, m = model.train_step(s, batch_d, jax.random.key(2 + i))
+        s, m = model.train_step(s, batches[i % 3], jax.random.key(2 + i))
     float(jax.device_get(m["G2"]))
     best = float("inf")
-    for _ in range(2):
+    for t in range(2):
         t0 = time.perf_counter()
         for i in range(4):
-            s, m = model.train_step(s, batch_d, jax.random.key(6 + i))
+            s, m = model.train_step(s, batches[(2 + 4 * t + i) % 3],
+                                    jax.random.key(6 + i))
         float(jax.device_get(m["G2"]))
         best = min(best, (time.perf_counter() - t0) / 4)
+    mhost = {k: float(v) for k, v in jax.device_get(m).items()}
+    import math
+    bad = sorted(k for k, v in mhost.items() if not math.isfinite(v))
     print(json.dumps({
         "metric": ("s2d_train_step_576x192_images_per_sec_per_chip"
-                   + ("_remat" if remat else "")),
+                   + ("_remat" if remat else "")
+                   + ("_bf16" if dtype == "bfloat16" else "")),
         "value": round(batch / best, 3),
         "unit": "images/sec/chip",
         "vs_baseline": None,  # the reference publishes no training throughput
+        "all_metrics_finite": not bad,
+        "nonfinite_metrics": bad,
     }))
 
 
@@ -166,8 +180,10 @@ if __name__ == "__main__":
                     choices=["generator", "S2D"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     if args.model == "S2D":
-        main_s2d(args.batch, args.remat)
+        main_s2d(args.batch, args.remat, args.dtype)
     else:
         main()
