@@ -161,7 +161,13 @@ class DualResnetBlock(nn.Module):
 
 class G1(nn.Module):
     """G_1 entry net (networks5_ds.py:26-66): stem + 6-layer dense block +
-    3×3 entry conv + n dual-branch residual blocks → ngf-ch @1/2."""
+    3×3 entry conv + n residual blocks → ngf-ch @1/2.
+
+    ``block_type`` selects the residual-block generation: 'dual' is the
+    new_multi/dilated dual-branch block (networks5_ds.py:33-66); 'resnet'
+    is the base generation's standard two-conv ResnetBlock
+    (my_seg_depth/networks2.py:285-329 with :355-393 blocks).
+    """
 
     growth_rate: int = 32
     block_config: int = 6
@@ -171,6 +177,7 @@ class G1(nn.Module):
     n_blocks: int = 3
     norm: str = "batch"
     use_dropout: bool = False
+    block_type: str = "dual"  # 'dual' | 'resnet'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -185,9 +192,20 @@ class G1(nn.Module):
                  dtype=self.dtype, name="entry_conv")(reflect_pad(h, 1))
         h = nn.relu(Norm(self.norm, name="entry_norm")(h, train=train))
         for i in range(self.n_blocks):
-            h = DualResnetBlock(self.ngf, norm=self.norm,
-                                use_dropout=self.use_dropout, use_bias=use_bias,
-                                dtype=self.dtype, name=f"block{i}")(h, train=train)
+            if self.block_type == "dual":
+                h = DualResnetBlock(self.ngf, norm=self.norm,
+                                    use_dropout=self.use_dropout,
+                                    use_bias=use_bias,
+                                    dtype=self.dtype, name=f"block{i}")(
+                    h, train=train)
+            else:
+                from .networks import ResnetBlock
+
+                h = ResnetBlock(self.ngf, padding_type="reflect",
+                                norm=self.norm,
+                                use_dropout=self.use_dropout,
+                                use_bias=use_bias, dtype=self.dtype,
+                                name=f"block{i}")(h, train=train)
         return h
 
 
@@ -489,6 +507,40 @@ class StarDiscriminator(nn.Module):
         return nn.leaky_relu(h, 0.01)[..., 0]
 
 
+class DropDiscriminator(nn.Module):
+    """Base-generation feature Discriminator (my_seg_depth/networks2.py:
+    331-353, built by define_D networks2.py:589-601 as model2's ``Dis_en``):
+    input is already ``conv_dim``-channel (the 64-ch G_1/stem features), then
+    ``repeat_num - 1`` × [conv4×4 s2 (doubling), LeakyReLU(0.01),
+    Dropout2d(0.2)] and a bias-free 1×1 head, channel squeezed.
+
+    Dropout2d drops whole channels per sample → flax Dropout with the
+    spatial dims broadcast. The reference keeps the net in train mode for
+    every training-phase forward (model2.py never calls eval during
+    optimize_parameters), so dropout is active in both the G and D phases.
+    """
+
+    conv_dim: int = 64
+    repeat_num: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = x
+        dim = self.conv_dim
+        for i in range(1, self.repeat_num):
+            dim *= 2
+            h = Conv(dim, 4, stride=2, padding=1, use_bias=True,
+                     kernel_init=normal02, dtype=self.dtype,
+                     name=f"conv{i}")(h)
+            h = nn.leaky_relu(h, 0.01)
+            h = nn.Dropout(0.2, broadcast_dims=(1, 2),
+                           deterministic=not train)(h)
+        h = Conv(1, 1, use_bias=False, kernel_init=normal02, dtype=self.dtype,
+                 name="head")(h)
+        return h[..., 0]
+
+
 class Discriminator2Seg(nn.Module):
     """Discriminator2_seg (networks5_ds.py:842-864): 1×1 halving stack +
     stride-2 head + sigmoid."""
@@ -517,17 +569,23 @@ class Discriminator2Seg(nn.Module):
 
 
 class DeconvBlock(nn.Module):
-    """DeconvBlock (networks5_ds.py:68-87): LeakyReLU(0.02) → ConvT k4 s2."""
+    """DeconvBlock (networks5_ds.py:68-87): LeakyReLU(0.02) → ConvT k4 s2.
+
+    The base generation's own copy (my_seg_depth/networks2.py:29-44) uses a
+    plain ReLU instead — select with ``negative_slope=0.0`` (exactly ReLU).
+    """
 
     output_nc: int
     batch_norm: bool = False
+    negative_slope: float = 0.02
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         h = ConvTranspose(self.output_nc, 4, stride=2, padding=1,
                           output_padding=0, use_bias=True, kernel_init=normal02,
-                          dtype=self.dtype, name="deconv")(nn.leaky_relu(x, 0.02))
+                          dtype=self.dtype, name="deconv")(
+            nn.leaky_relu(x, self.negative_slope))
         if self.batch_norm:
             h = Norm("batch", name="bn")(h, train=train)
         return h
@@ -592,13 +650,50 @@ def get_masks(target: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return o_m, z_m
 
 
+@jax.custom_vjp
 def _bce(p: jax.Array, t: jax.Array) -> jax.Array:
-    """torch BCELoss semantics: mean, log clamped at −100."""
+    """torch BCELoss semantics — BOTH directions.
+
+    Forward: mean, log clamped at −100 (ATen binary_cross_entropy).
+    Backward: torch clamps the denominator, grad = (p − t) /
+    clamp_min(p·(1−p), 1e−12) / n — finite at p ∈ {0, 1}. The naive jax
+    autodiff of the clamped-log forward instead produces 0·∞ = NaN
+    cotangents exactly at saturation; masked-out sites (p = 0 by
+    construction) and bf16 tanh outputs (saturate to exact ±1 from |x|≈2.8)
+    hit that constantly, NaN-poisoning R_D's update in one step on TPU.
+    The custom VJP restores the reference's backward semantics.
+    """
+    return _bce_value(p, t)
+
+
+def _bce_value(p: jax.Array, t: jax.Array) -> jax.Array:
     p = p.astype(jnp.float32)
     t = t.astype(jnp.float32)
     logp = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
     log1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
     return -jnp.mean(t * logp + (1.0 - t) * log1p)
+
+
+def _bce_fwd(p, t):
+    return _bce_value(p, t), (p, t)
+
+
+def _bce_bwd(res, g):
+    p, t = res
+    pf = p.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    n = pf.size
+    # ATen binary_cross_entropy_backward: (input - target) /
+    # (input * (1 - input)).clamp_min(1e-12), then the mean's 1/n
+    gp = g * (pf - tf) / jnp.maximum(pf * (1.0 - pf), 1e-12) / n
+    # d/dt of -[t·logp + (1-t)·log1p]/n (clamped logs keep it finite)
+    logp = jnp.maximum(jnp.log(jnp.maximum(pf, 0.0)), -100.0)
+    log1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - pf, 0.0)), -100.0)
+    gt = g * (log1p - logp) / n
+    return gp.astype(p.dtype), gt.astype(t.dtype)
+
+
+_bce.defvjp(_bce_fwd, _bce_bwd)
 
 
 def bce_dep_loss(pred: jax.Array, target: jax.Array, o_m: jax.Array,
@@ -706,7 +801,9 @@ class _SkipDecoder(nn.Module):
         skips = [f4, f3, f2, f1]
         h = x
         for i, (c, s) in enumerate(zip(chans, skips)):
-            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(
+            # networks2.py's DeconvBlock copy uses ReLU, not LeakyReLU(0.02)
+            h = DeconvBlock(c, negative_slope=0.0, dtype=self.dtype,
+                            name=f"up{i}")(
                 jnp.concatenate([h, s], axis=-1), train=train)
         return Conv(self.out_c, 1, use_bias=True, kernel_init=normal02,
                     dtype=self.dtype, name="head")(

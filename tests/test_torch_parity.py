@@ -144,3 +144,26 @@ def test_conv3x3_reflect_fused_matches_pad_conv():
     out = conv3x3_reflect(jnp.asarray(x), jnp.asarray(convert_conv_weight(w)))
     np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_bce_backward_matches_torch_and_is_finite_at_saturation():
+    """torch BCELoss clamps its backward denominator (ATen
+    binary_cross_entropy_backward: (p-t)/clamp_min(p(1-p), 1e-12)); the
+    naive autodiff of the clamped-log forward NaNs at p∈{0,1} instead —
+    exactly where masked-out sites and bf16-saturated tanh outputs live.
+    models/s2d_networks._bce carries a custom VJP with the torch backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from cycle_depth_estimation_tpu.models.s2d_networks import _bce
+
+    p = np.array([0.0, 1.0, 0.3, 0.9, 1e-30], np.float32)
+    t = np.array([0.0, 1.0, 1.0, 0.2, 1.0], np.float32)
+    tp = torch.tensor(p, requires_grad=True)
+    loss = torch.nn.BCELoss()(tp, torch.tensor(t))
+    loss.backward()
+    ours_v = float(_bce(jnp.asarray(p), jnp.asarray(t)))
+    ours_g = np.asarray(jax.grad(_bce)(jnp.asarray(p), jnp.asarray(t)))
+    assert np.isclose(ours_v, float(loss.detach()), atol=1e-6)
+    assert np.isfinite(ours_g).all()
+    np.testing.assert_allclose(ours_g, tp.grad.numpy(), rtol=1e-5, atol=1e-6)
