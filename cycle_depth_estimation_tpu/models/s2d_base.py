@@ -5,8 +5,10 @@ generation of the seg+depth domain-adaptation lineage:
 
 - nets: G_1 entry net, General_net (standard-transition DenseNet trunk with
   5 skip features — `GeneralNet2`), skip-connected `SEG2` (28-cls, weighted
-  CE) and `DEP2` (tanh depth) decoders, and a 64-channel feature PatchGAN
-  `Dis_en` aligning G_1(syn) features to the real stem features;
+  CE) and `DEP2` (tanh depth) decoders, and a 64-channel StarGAN-style
+  feature discriminator with Dropout2d (`DropDiscriminator`,
+  networks2.py:331-353) aligning G_1(syn) features to the real stem
+  features;
 - round-robin in one jit step (model2.py:340-401):
   1. G step: G_1 ← LSGAN(Dis_en(syn_feat), real) ; G_2 ← seg CE on both
      branches (decoders frozen);
@@ -29,7 +31,7 @@ from ..config import Config
 from .base_model import BaseModel, ModelState
 from .networks import gan_loss, l1_loss
 from .s2d import make_adam
-from .s2d_networks import CLASS_WEIGHTS_28, DEP2, G1, GeneralNet2, SDiscriminator, SEG2
+from .s2d_networks import CLASS_WEIGHTS_28, DEP2, DropDiscriminator, G1, GeneralNet2, SEG2
 from .seg_network import cross_entropy_loss, seg_accuracy
 
 
@@ -46,9 +48,15 @@ class S2DBaseModel(BaseModel):
         super().__init__(cfg)
         dt = cfg.compute_dtype()
         block_config = tuple(cfg.dense_block_config or (6, 12, 32, 32))
-        self.net_G_1 = G1(n_blocks=cfg.g1_blocks, dtype=dt)
+        # base-generation G_1 uses standard ResnetBlocks (networks2.py:
+        # 285-329), not the dual-branch blocks of the later generations
+        self.net_G_1 = G1(n_blocks=cfg.g1_blocks, block_type="resnet",
+                          dtype=dt)
         self.net_G_2 = GeneralNet2(block_config=block_config, dtype=dt)
-        self.net_Dis_en = SDiscriminator(ndf=cfg.ndf, dtype=dt)
+        # StarGAN-style feature D with Dropout2d (networks2.py:331-353 via
+        # define_D :589-601) — NOT the PatchGAN _Discriminator of later
+        # generations.
+        self.net_Dis_en = DropDiscriminator(conv_dim=cfg.ndf, dtype=dt)
         self.net_Seg_de = SEG2(n_cls=28, dtype=dt)
         self.net_Dep_de = DEP2(dtype=dt)
         self.opts = {k: make_adam(cfg.lr, cfg.beta1)
@@ -90,6 +98,10 @@ class S2DBaseModel(BaseModel):
         stats = dict(state.batch_stats)
         opt_states = dict(state.opt_states)
         w28 = self.class_weights
+        # the reference never switches Dis_en out of train mode during
+        # optimize_parameters (model2.py:340-401) → dropout is live in both
+        # the G and D phases, with independent draws
+        k_dis_g, k_dis_d = jax.random.split(rng)
         metrics = {}
 
         # forward (model2.py:288-293): syn G_1 features + real trunk pass
@@ -105,7 +117,8 @@ class S2DBaseModel(BaseModel):
             f1, s1 = self._apply(self.net_G_1, g1p, stats["G_1"], syn_img,
                                  train=True)
             pre_s, _ = self._apply(self.net_Dis_en, params["Dis_en"],
-                                   stats["Dis_en"], f1, train=False)
+                                   stats["Dis_en"], f1, train=True,
+                                   rng=k_dis_g)
             loss_g1 = gan_loss(pre_s, True)
             (syn_f2, syn_psp), s2 = self._apply(
                 self.net_G_2, g2p, stats["G_2"],
@@ -181,9 +194,10 @@ class S2DBaseModel(BaseModel):
         # ---- 4. D step ----
         def d_loss_fn(dp):
             s = stats["Dis_en"]
-            pre_s, s = self._apply(self.net_Dis_en, dp, s, syn_f1, train=True)
+            pre_s, s = self._apply(self.net_Dis_en, dp, s, syn_f1, train=True,
+                                   rng=k_dis_d)
             pre_r, s = self._apply(self.net_Dis_en, dp, s, real_feat64,
-                                   train=True)
+                                   train=True, rng=jax.random.fold_in(k_dis_d, 1))
             ls = gan_loss(pre_s, False)
             lr_ = gan_loss(pre_r, True)
             return ls + lr_, (ls, lr_, s)

@@ -222,6 +222,33 @@ def import_g1(sd: Mapping[str, np.ndarray], n_blocks: int = 3,
     return {"params": params, "batch_stats": stats}
 
 
+def import_g1_base(sd: Mapping[str, np.ndarray], n_blocks: int = 3,
+                   block_config: int = 6) -> Dict[str, Any]:
+    """Import a base-generation G_1 checkpoint (my_seg_depth/networks2.py:
+    285-329, e.g. ``G1_model.pth``) into our `G1(block_type='resnet')`
+    variables. The residual blocks are standard two-conv ResnetBlocks:
+    torch ``model.N.conv_block.{1,2,5,6}`` → conv1/norm1/conv2/norm2."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "features.conv0")
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    params["denseblock1"], stats["denseblock1"] = _dense_block(
+        sd, "features.denseblock1", block_config)
+    params["entry_conv"] = _conv_entry(sd, "model.1")
+    params["entry_norm"], stats["entry_norm"] = _bn(sd, "model.2")
+    for i in range(n_blocks):
+        base = f"model.{4 + i}"
+        bp: Dict[str, Any] = {"conv1": _conv_entry(sd, f"{base}.conv_block.1"),
+                              "conv2": _conv_entry(sd, f"{base}.conv_block.5")}
+        bs: Dict[str, Any] = {}
+        bp["norm1"], bs["norm1"] = _bn(sd, f"{base}.conv_block.2")
+        bp["norm2"], bs["norm2"] = _bn(sd, f"{base}.conv_block.6")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+    return {"params": params, "batch_stats": stats}
+
+
 def import_general_net(sd: Mapping[str, np.ndarray],
                        block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
     """Import a reference General_net (G_2) checkpoint
@@ -254,6 +281,74 @@ def import_general_net(sd: Mapping[str, np.ndarray],
         params[name] = _conv_entry(sd, f"psp.{j + 2}")
     params["psp_norm_out"], stats["psp_norm_out"] = _bn(sd, "psp.6")
     return {"params": params, "batch_stats": stats}
+
+
+def import_general_net2(sd: Mapping[str, np.ndarray],
+                        block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
+    """Import a reference base-generation General_net checkpoint
+    (my_seg_depth/networks2.py:395-481, e.g. ``General_model.pth``) into our
+    `models.s2d_networks.GeneralNet2` variables.
+
+    torch layout: ``features.{conv0,norm0,denseblockN,transitionN}`` with
+    STANDARD transitions (norm/conv inside each transition) and the psp head
+    ModuleList (BN@0, convs@2-5, BN@6).
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "features.conv0")
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    for i, n_layers in enumerate(block_config):
+        params[f"denseblock{i + 1}"], stats[f"denseblock{i + 1}"] = _dense_block(
+            sd, f"features.denseblock{i + 1}", n_layers)
+        if i < len(block_config) - 1:
+            tp: Dict[str, Any] = {
+                "conv": _conv_entry(sd, f"features.transition{i + 1}.conv")}
+            ts: Dict[str, Any] = {}
+            tp["norm"], ts["norm"] = _bn(sd, f"features.transition{i + 1}.norm")
+            params[f"transition{i + 1}"] = tp
+            stats[f"transition{i + 1}"] = ts
+    params["psp_norm_in"], stats["psp_norm_in"] = _bn(sd, "psp.0")
+    for j, name in enumerate(("psp_b0", "psp_b1", "psp_b2", "psp_b3")):
+        params[name] = _conv_entry(sd, f"psp.{j + 2}")
+    params["psp_norm_out"], stats["psp_norm_out"] = _bn(sd, "psp.6")
+    return {"params": params, "batch_stats": stats}
+
+
+def _import_skip_decoder(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a base-generation SEG/DEP decoder body (networks2.py:489-566) onto
+    our `_SkipDecoder` params: trans_0 ConvT + trans_1..4 1×1 adapters +
+    Up.0-3 DeconvBlocks + the Up.4 1×1 head. (Each torch DeconvBlock also
+    instantiates an unused ``bn`` — batch_norm=False — whose state-dict
+    entries are skipped, like the reference's own loads.)"""
+    params: Dict[str, Any] = {"trans_0": _conv_entry(sd, "trans_0",
+                                                     transposed=True)}
+    for i in range(1, 5):
+        params[f"trans_{i}"] = _conv_entry(sd, f"trans_{i}")
+    for i in range(4):
+        params[f"up{i}"] = {
+            "deconv": _conv_entry(sd, f"Up.{i}.deconv", transposed=True)}
+    params["head"] = _conv_entry(sd, "Up.4")
+    return params
+
+
+def import_seg2(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a base-generation SEG decoder (networks2.py:489-531,
+    ``Seg_de``) into our `models.s2d_networks.SEG2` variables (skip-decoder
+    body + the activation BN head)."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {"dec": _import_skip_decoder(sd)}
+    stats: Dict[str, Any] = {}
+    p, s = _bn(sd, "activation_seg.0")
+    params["act_norm"], stats["act_norm"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def import_dep2(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a base-generation DEP decoder (networks2.py:534-566,
+    ``Dep_de``) into our `models.s2d_networks.DEP2` variables."""
+    sd = strip_module_prefix(dict(sd))
+    return {"params": {"dec": _import_skip_decoder(sd)}}
 
 
 def import_resnetlw(sd: Mapping[str, np.ndarray],
@@ -429,6 +524,22 @@ def import_preunet16(sd: Mapping[str, np.ndarray], layers: int = 4
     else:
         params["prelu_alpha"] = np.full((1,), 0.25, np.float32)
     return {"params": params, "batch_stats": stats}
+
+
+def import_drop_discriminator(sd: Mapping[str, np.ndarray],
+                              repeat_num: int = 4) -> Dict[str, Any]:
+    """Import the base-generation feature Discriminator state dict
+    (my_seg_depth/networks2.py:331-353, model2's ``Dis_en``) into our
+    `models.s2d_networks.DropDiscriminator` params. The torch Sequential
+    packs [conv, LeakyReLU, Dropout2d] triples → convs at main.{0,3,6,...};
+    the bias-free 1×1 head is ``conv1``.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    for i in range(1, repeat_num):
+        params[f"conv{i}"] = _conv_entry(sd, f"main.{3 * (i - 1)}")
+    params["head"] = _conv_entry(sd, "conv1")
+    return {"params": params}
 
 
 def import_discriminator2_seg(sd: Mapping[str, np.ndarray],

@@ -103,3 +103,49 @@ def test_discriminator_seg_contract():
     val, grads = jax.value_and_grad(loss)(vs["params"])
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+# ---------------------------------------------------------------------------
+# base-generation Dis_en (networks2.py:331-353): StarGAN-style feature D
+# with Dropout2d — torch-oracle import/forward parity
+# ---------------------------------------------------------------------------
+
+
+def test_drop_discriminator_import_parity():
+    from tools.torch_oracles import build_torch_drop_discriminator
+    from cycle_depth_estimation_tpu.models.s2d_networks import (
+        DropDiscriminator,
+    )
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_drop_discriminator,
+    )
+
+    torch.manual_seed(7)
+    conv_dim, repeat_num = 8, 4
+    tnet = build_torch_drop_discriminator(conv_dim, repeat_num)
+    tnet.eval()  # dropout off for the deterministic comparison
+    x = RNG.randn(2, 32, 48, conv_dim).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet.fwd(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = import_drop_discriminator(sd, repeat_num)
+    ours = DropDiscriminator(conv_dim=conv_dim, repeat_num=repeat_num).apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(x), train=False)
+    assert ours.shape == ref.shape  # channel-squeezed NHW
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_drop_discriminator_dropout_active_in_train():
+    from cycle_depth_estimation_tpu.models.s2d_networks import (
+        DropDiscriminator,
+    )
+
+    d = DropDiscriminator(conv_dim=8, repeat_num=3)
+    x = jnp.asarray(RNG.randn(1, 16, 16, 8), jnp.float32)
+    vs = d.init(jax.random.key(0), x)
+    y1 = d.apply(vs, x, train=True, rngs={"dropout": jax.random.key(1)})
+    y2 = d.apply(vs, x, train=True, rngs={"dropout": jax.random.key(2)})
+    y3 = d.apply(vs, x, train=False)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert np.isfinite(np.asarray(y3)).all()
