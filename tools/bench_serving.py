@@ -115,9 +115,66 @@ def bench_rf_lw(batch: int, mode: str):
                       "value": round(ips, 2), "unit": "images/sec/chip"}))
 
 
+def bench_s2d(batch: int, mode: str):
+    """The new_multi S2D real-image depth-serving chain G_2('R')→R_D at
+    576×192 (model5.py:376-413 eval path; G_1 only feeds the synthetic
+    branch, so production depth inference on camera images is G_2+R_D)."""
+    from cycle_depth_estimation_tpu.models.ptq import (
+        calibrate_model,
+        int8_apply,
+    )
+    from cycle_depth_estimation_tpu.models.s2d_networks import GeneralNet, RDep
+
+    h, w = 192, 576
+    g2 = GeneralNet(dtype=jnp.bfloat16)
+    rd = RDep(dtype=jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        vg2 = g2.init(jax.random.key(0), x0, "R")
+        calib = _calib_imgs(1, h, w)
+        psp, feats = g2.apply(vg2, calib, "R")
+        vrd = rd.init(jax.random.key(1), feats, psp)
+        if mode == "int8":
+            s_g2 = calibrate_model(lambda a: g2.apply(vg2, a, "R"), calib)
+            s_rd = calibrate_model(lambda f, p: rd.apply(vrd, f, p),
+                                   feats, psp)
+    dev = jax.devices()[0]
+    vg2, vrd = jax.device_put(vg2, dev), jax.device_put(vrd, dev)
+    x0 = jax.device_put(_calib_imgs(batch, h, w).astype(jnp.bfloat16), dev)
+
+    if mode == "int8":
+        s_g2, s_rd = jax.device_put(s_g2, dev), jax.device_put(s_rd, dev)
+
+        def infer(a):
+            psp_, feats_ = int8_apply(
+                lambda b: g2.apply(vg2, b, "R"), s_g2, a)
+            _, _, (_, dep) = int8_apply(
+                lambda f, p: rd.apply(vrd, f, p), s_rd, feats_, psp_)
+            return dep
+
+        fast = jax.jit(infer)
+    else:
+        def infer(a):
+            psp_, feats_ = g2.apply(vg2, a, "R")
+            _, _, (_, dep) = rd.apply(vrd, feats_, psp_)
+            return dep
+
+        fast = jax.jit(infer)
+
+    def step(a):
+        dep = fast(a)
+        return x0 * (1.0 + 1e-6 * jnp.tanh(jnp.mean(
+            dep.astype(jnp.float32)))).astype(jnp.bfloat16)
+
+    ips = _measure(step, x0)
+    print(json.dumps({"metric": f"s2d_depth_inference_576x192_{mode}",
+                      "value": round(ips, 2), "unit": "images/sec/chip"}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--net", choices=["unet", "rf_lw"], required=True)
+    ap.add_argument("--net", choices=["unet", "rf_lw", "s2d"], required=True)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mode", choices=["int8", "bf16"], default="int8")
     ap.add_argument("--quantize-transpose", action="store_true",
@@ -125,6 +182,8 @@ def main():
     args = ap.parse_args()
     if args.net == "unet":
         bench_unet(args.batch or 64, args.mode, args.quantize_transpose)
+    elif args.net == "s2d":
+        bench_s2d(args.batch or 8, args.mode)
     else:
         bench_rf_lw(args.batch or 8, args.mode)
 
