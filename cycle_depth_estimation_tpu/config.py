@@ -173,6 +173,7 @@ MODEL_DEFAULTS = {
     "S2D": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "semantic_trans": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "rf_lw7": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),
 }
 

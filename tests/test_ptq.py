@@ -197,3 +197,31 @@ def test_sites_are_jit_arguments_not_constants():
                      kernel_q=jnp.clip(sites2[k]["kernel_q"] + 3, -127, 127))
     y2 = fast(vs, sites2, x)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_ptq_on_real_reference_checkpoint():
+    """Generic PTQ fidelity with REAL trained weights: the checked-in
+    new_multi iter_4000_net_G_1.pth imported and served int8."""
+    import os
+
+    pth = "/root/reference/new_multi/checkpoints/iter_4000_net_G_1.pth"
+    if not os.path.exists(pth):
+        pytest.skip("reference checkpoint absent")
+    from cycle_depth_estimation_tpu.models.quantization import (
+        synthetic_calibration_batch,
+    )
+    from cycle_depth_estimation_tpu.models.s2d_networks import G1
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_g1,
+        load_pth,
+    )
+
+    vs = jax.tree.map(jnp.asarray, import_g1(load_pth(pth)))
+    g = G1()
+    calib = jnp.asarray(synthetic_calibration_batch(5, 2, 96))
+    x = jnp.asarray(synthetic_calibration_batch(6, 1, 96))
+    y_fp = g.apply(vs, x, train=False)
+    sites, serve = quantize_for_serving(g, vs, (calib,),
+                                        calib_kwargs={"train": False})
+    y_q = serve(vs, sites, x, train=False)
+    assert _cos(y_q, y_fp) > 0.99

@@ -125,3 +125,36 @@ def test_rf_lw_train_step():
     m, visuals = model.eval_step(state1, batch)
     assert visuals["syn_dep_pre"].shape == (1, h, w, 1)
     assert visuals["syn_seg_pre"].shape == (1, h, w)
+
+
+def test_rf_lw7_train_step():
+    """model7 variant: single seg2_0 head, supervised SEG step, bilinear up,
+    net_depth constructed-but-unstepped (reference model7.py quirks)."""
+    cfg = apply_model_defaults(Config(model="rf_lw7", batch_size=1,
+                                      resnet_layers=[1, 1, 1, 1]))
+    model = create_model(cfg)
+    h, w = 64, 96
+    state = model.init_state_at(jax.random.key(0), h, w)
+    batch = {
+        "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+        "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
+    }
+    state1, metrics = model.train_step(state, batch, jax.random.key(1))
+    assert set(metrics) == set(model.loss_names)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    for net in ("G", "seg2_0"):
+        l0 = jax.tree.leaves(state.params[net])
+        l1 = jax.tree.leaves(state1.params[net])
+        assert any(not np.allclose(a, b) for a, b in zip(l0, l1)), net
+    # net_depth is constructed but never stepped (model7.py:221-235 quirk)
+    l0 = jax.tree.leaves(state.params["depth"])
+    l1 = jax.tree.leaves(state1.params["depth"])
+    assert all(np.allclose(a, b) for a, b in zip(l0, l1))
+    m, visuals = model.eval_step(state1, batch)
+    assert visuals["syn_dep_pre"].shape == (1, h, w, 1)
+    assert visuals["syn_seg_pre"].shape == (1, h, w)

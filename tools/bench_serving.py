@@ -115,12 +115,17 @@ def bench_rf_lw(batch: int, mode: str):
                       "value": round(ips, 2), "unit": "images/sec/chip"}))
 
 
-def bench_s2d(batch: int, mode: str):
+def bench_s2d(batch: int, mode: str, min_width: int = 0):
     """The new_multi S2D real-image depth-serving chain G_2('R')→R_D at
     576×192 (model5.py:376-413 eval path; G_1 only feeds the synthetic
-    branch, so production depth inference on camera images is G_2+R_D)."""
+    branch, so production depth inference on camera images is G_2+R_D).
+
+    ``min_width``: quantize only conv sites whose in AND out channels are
+    ≥ this (measurement knob — DenseNet's narrow growth-32 convs underfill
+    the int8 MXU and can cancel the win)."""
     from cycle_depth_estimation_tpu.models.ptq import (
         calibrate_model,
+        default_predicate,
         int8_apply,
     )
     from cycle_depth_estimation_tpu.models.s2d_networks import GeneralNet, RDep
@@ -135,10 +140,19 @@ def bench_s2d(batch: int, mode: str):
         calib = _calib_imgs(1, h, w)
         psp, feats = g2.apply(vg2, calib, "R")
         vrd = rd.init(jax.random.key(1), feats, psp)
+        def pred(key, m):
+            if not default_predicate(key, m):
+                return False
+            if min_width:
+                k = m.variables["params"]["kernel"]
+                return k.shape[2] >= min_width and k.shape[3] >= min_width
+            return True
+
         if mode == "int8":
-            s_g2 = calibrate_model(lambda a: g2.apply(vg2, a, "R"), calib)
+            s_g2 = calibrate_model(lambda a: g2.apply(vg2, a, "R"), calib,
+                                   predicate=pred)
             s_rd = calibrate_model(lambda f, p: rd.apply(vrd, f, p),
-                                   feats, psp)
+                                   feats, psp, predicate=pred)
     dev = jax.devices()[0]
     vg2, vrd = jax.device_put(vg2, dev), jax.device_put(vrd, dev)
     x0 = jax.device_put(_calib_imgs(batch, h, w).astype(jnp.bfloat16), dev)
@@ -168,7 +182,8 @@ def bench_s2d(batch: int, mode: str):
             dep.astype(jnp.float32)))).astype(jnp.bfloat16)
 
     ips = _measure(step, x0)
-    print(json.dumps({"metric": f"s2d_depth_inference_576x192_{mode}",
+    tag = mode + (f"_minw{min_width}" if min_width else "")
+    print(json.dumps({"metric": f"s2d_depth_inference_576x192_{tag}",
                       "value": round(ips, 2), "unit": "images/sec/chip"}))
 
 
@@ -179,11 +194,13 @@ def main():
     ap.add_argument("--mode", choices=["int8", "bf16"], default="int8")
     ap.add_argument("--quantize-transpose", action="store_true",
                     help="also quantize ConvTranspose sites (measurement)")
+    ap.add_argument("--min-width", type=int, default=0,
+                    help="s2d: quantize only convs with in/out chans >= N")
     args = ap.parse_args()
     if args.net == "unet":
         bench_unet(args.batch or 64, args.mode, args.quantize_transpose)
     elif args.net == "s2d":
-        bench_s2d(args.batch or 8, args.mode)
+        bench_s2d(args.batch or 8, args.mode, args.min_width)
     else:
         bench_rf_lw(args.batch or 8, args.mode)
 
