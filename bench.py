@@ -174,10 +174,64 @@ def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32"):
     }))
 
 
+def main_cycle_gan(batch: int = 16, dtype: str = "float32"):
+    """CycleGAN full train step (G joint update + 4× D steps + pool replay
+    in one program) at 256², reference working shapes. Rotated batches;
+    reports finiteness like the S2D mode."""
+    import math
+
+    import numpy as np
+
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+    from cycle_depth_estimation_tpu.models.quantization import (
+        synthetic_calibration_batch,
+    )
+
+    cfg = apply_model_defaults(Config(model="cycle_gan", batch_size=batch,
+                                      no_dropout=True, dtype=dtype))
+    model = create_model(cfg)
+    model.donate_state = True
+    state = model.init_state_on_host(jax.random.key(0))
+
+    def mk(j):
+        return jax.device_put({
+            "img_source": jnp.asarray(
+                synthetic_calibration_batch(1 + 9 * j, batch, 256)),
+            "img_target": jnp.asarray(
+                synthetic_calibration_batch(2 + 9 * j, batch, 256)),
+        }, jax.devices()[0])
+
+    batches = [mk(j) for j in range(3)]
+    s = state
+    for i in range(2):
+        s, m = model.train_step(s, batches[i % 3], jax.random.key(2 + i))
+    float(jax.device_get(m["G_A"]))
+    best = float("inf")
+    for t in range(2):
+        t0 = time.perf_counter()
+        for i in range(4):
+            s, m = model.train_step(s, batches[(2 + 4 * t + i) % 3],
+                                    jax.random.key(6 + i))
+        float(jax.device_get(m["G_A"]))
+        best = min(best, (time.perf_counter() - t0) / 4)
+    mhost = {k: float(v) for k, v in jax.device_get(m).items()}
+    bad = sorted(k for k, v in mhost.items() if not math.isfinite(v))
+    print(json.dumps({
+        "metric": ("cycle_gan_train_step_256px_images_per_sec_per_chip"
+                   + ("_bf16" if dtype == "bfloat16" else "")),
+        "value": round(batch / best, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "all_metrics_finite": not bad,
+        "nonfinite_metrics": bad,
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
-                    choices=["generator", "S2D"])
+                    choices=["generator", "S2D", "cycle_gan"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
@@ -185,5 +239,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.model == "S2D":
         main_s2d(args.batch, args.remat, args.dtype)
+    elif args.model == "cycle_gan":
+        main_cycle_gan(args.batch if args.batch > 1 else 16, args.dtype)
     else:
         main()
