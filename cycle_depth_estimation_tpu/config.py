@@ -147,6 +147,7 @@ class Config:
     process_index: int = 0
     async_checkpoint: bool = False  # orbax AsyncCheckpointer in save_networks
     platform: str = "default"       # 'default' | 'cpu' | 'tpu' | 'axon'
+    int8: bool = False              # test.py: serve the generator int8 (PTQ)
 
     def expr_dir(self) -> str:
         return os.path.join(self.checkpoints_dir, self.name)

@@ -48,6 +48,30 @@ def main(argv=None):
     else:
         print("warning: no checkpoint found — running with random init")
 
+    serve_int8 = None
+    if cfg.int8:
+        # generic PTQ serving (models/ptq.py): calibrate on the first batch,
+        # then run the generator int8 for the whole gallery
+        import jax.numpy as jnp
+
+        from cycle_depth_estimation_tpu.models.ptq import (
+            calibrate_model,
+            int8_apply,
+        )
+
+        name = model.model_names[0]
+        g = model.net_G
+        variables = {"params": state.params[name]}
+        if state.batch_stats.get(name):
+            variables["batch_stats"] = state.batch_stats[name]
+        first = next(iter(create_dataloader(cfg, phase=cfg.phase,
+                                            shuffle=False)))
+        calib = jnp.asarray(first["A"])
+        sites = calibrate_model(lambda a: g.apply(variables, a), calib)
+        print(f"int8 serving: {len(sites)} conv sites quantized")
+        serve_int8 = jax.jit(lambda s, a: int8_apply(
+            lambda b: g.apply(variables, b), s, a))
+
     web_dir = os.path.join(cfg.results_dir, cfg.name, f"{cfg.phase}_{cfg.epoch}")
     webpage = HTML(web_dir, f"Experiment = {cfg.name}, Phase = {cfg.phase}, "
                             f"Epoch = {cfg.epoch}")
@@ -57,7 +81,11 @@ def main(argv=None):
             break
         arrays = {k: jax.numpy.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
-        _, visuals = model.eval_step(state, arrays)
+        if serve_int8 is not None:
+            visuals = {"real_A": arrays["A"],
+                       "fake_B": serve_int8(sites, arrays["A"])}
+        else:
+            _, visuals = model.eval_step(state, arrays)
         for b in range(arrays["A"].shape[0]):
             if n_done >= cfg.num_test:
                 break
