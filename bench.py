@@ -102,13 +102,16 @@ def main():
     }))
 
 
-def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32"):
-    """Full new_multi S2D train-step throughput at 576×192 (DenseNet-169,
-    77M params, the reference's working point — try_data.py:166,436).
+def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32",
+             model_name: str = "S2D"):
+    """Full train-step throughput at 576×192 for the vKITTI→KITTI ('try')
+    model families sharing the same batch layout: S2D (DenseNet-169, 77M
+    params, the reference's working point — try_data.py:166,436),
+    semantic_trans, rf_lw / rf_lw7 (RefineNet-LW).
 
-    Not the driver default: init-on-host + compile of the 4-phase program
-    costs ~12 min over the axon relay. Perf table in README; run with
-    ``python bench.py --model S2D [--batch N] [--remat]``.
+    Not the driver default: init-on-host + compile of the multi-phase
+    program costs ~12 min over the axon relay. Perf table in README; run
+    with ``python bench.py --model S2D [--batch N] [--remat] [--dtype ...]``.
     """
     import numpy as np
 
@@ -118,7 +121,7 @@ def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32"):
         synthetic_calibration_batch,
     )
 
-    cfg = apply_model_defaults(Config(model="S2D", batch_size=batch,
+    cfg = apply_model_defaults(Config(model=model_name, batch_size=batch,
                                       remat=remat, dtype=dtype))
     model = create_model(cfg)
     model.donate_state = True
@@ -150,20 +153,20 @@ def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32"):
     s = state
     for i in range(2):
         s, m = model.train_step(s, batches[i % 3], jax.random.key(2 + i))
-    float(jax.device_get(m["G2"]))
+    float(jax.device_get(next(iter(m.values()))))
     best = float("inf")
     for t in range(2):
         t0 = time.perf_counter()
         for i in range(4):
             s, m = model.train_step(s, batches[(2 + 4 * t + i) % 3],
                                     jax.random.key(6 + i))
-        float(jax.device_get(m["G2"]))
+        float(jax.device_get(next(iter(m.values()))))
         best = min(best, (time.perf_counter() - t0) / 4)
     mhost = {k: float(v) for k, v in jax.device_get(m).items()}
     import math
     bad = sorted(k for k, v in mhost.items() if not math.isfinite(v))
     print(json.dumps({
-        "metric": ("s2d_train_step_576x192_images_per_sec_per_chip"
+        "metric": (f"{model_name.lower()}_train_step_576x192_images_per_sec_per_chip"
                    + ("_remat" if remat else "")
                    + ("_bf16" if dtype == "bfloat16" else "")),
         "value": round(batch / best, 3),
@@ -231,14 +234,15 @@ def main_cycle_gan(batch: int = 16, dtype: str = "float32"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
-                    choices=["generator", "S2D", "cycle_gan"])
+                    choices=["generator", "S2D", "semantic_trans", "rf_lw",
+                             "rf_lw7", "cycle_gan"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    if args.model == "S2D":
-        main_s2d(args.batch, args.remat, args.dtype)
+    if args.model in ("S2D", "semantic_trans", "rf_lw", "rf_lw7"):
+        main_s2d(args.batch, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":
         main_cycle_gan(args.batch if args.batch > 1 else 16, args.dtype)
     else:
