@@ -104,3 +104,16 @@ def test_rf_lw_bf16_step():
         "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
     }
     _check(model, state, batch)
+
+
+def test_seg_cycle_bf16_step():
+    cfg = apply_model_defaults(Config(
+        model="seg_cycle", ngf=8, ndf=8, net_g="resnet_3blocks",
+        fine_size=32, batch_size=1, pool_size=2, dtype="bfloat16"))
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0))
+    h = w = 32
+    batch = {"img_source": _imgs(1, h, w), "img_target": _imgs(1, h, w),
+             "lab_source": _labels(1, h, w, 22),
+             "lab_target": _labels(1, h, w)}
+    _check(model, state, batch)
