@@ -234,14 +234,14 @@ def main_cycle_gan(batch: int = 16, dtype: str = "float32"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
-                    choices=["generator", "S2D", "semantic_trans", "rf_lw",
+                    choices=["generator", "S2D", "S2D_base", "semantic_trans", "rf_lw",
                              "rf_lw7", "cycle_gan"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    if args.model in ("S2D", "semantic_trans", "rf_lw", "rf_lw7"):
+    if args.model in ("S2D", "S2D_base", "semantic_trans", "rf_lw", "rf_lw7"):
         main_s2d(args.batch, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":
         main_cycle_gan(args.batch if args.batch > 1 else 16, args.dtype)
