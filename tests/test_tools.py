@@ -128,3 +128,17 @@ def test_imread_gray8_matches_cv2_on_16bit(tmp_path):
         np.testing.assert_array_equal(out, cv2.imread(p, 0))
     except ImportError:
         pass
+
+
+def test_bench_loader_tool(tmp_path):
+    """bench_loader sweeps workers and reports a sane throughput verdict."""
+    from tools.bench_loader import main as bench_loader_main
+
+    out = bench_loader_main([
+        "--num-images", "6", "--src-size", "96", "--load-size", "72",
+        "--fine-size", "64", "--batch-size", "3", "--workers", "1", "2",
+        "--epochs", "1", "--json"])
+    assert out["metric"] == "loader_throughput"
+    assert out["value"] > 0
+    assert {r["num_workers"] for r in out["sweep"]} == {1, 2}
+    assert set(out["sustains"]) == {"cycle_gan bf16 train", "S2D bf16 train"}
