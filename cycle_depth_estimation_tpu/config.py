@@ -61,6 +61,9 @@ class Config:
     max_dataset_size: int = 2 ** 31
     resize_or_crop: str = "resize_and_crop"
     no_flip: bool = False
+    # TPU-native: host does decode+resize only (uint8), crop/flip/normalize
+    # run jitted on device (data/device_transforms.py). resize_and_crop only.
+    device_aug: bool = False
     init_type: str = "normal"
     init_gain: float = 0.02
     verbose: bool = False

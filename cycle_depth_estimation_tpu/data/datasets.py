@@ -21,7 +21,8 @@ import numpy as np
 
 from . import register_dataset
 from .image_folder import make_dataset
-from .transforms import apply_transform, load_rgb, normalize, rgb_to_gray, resize, to_array
+from .transforms import (apply_resize_only, apply_transform, load_rgb,
+                         normalize, rgb_to_gray, resize, to_array)
 
 
 class _Base:
@@ -36,6 +37,15 @@ class _Base:
     def _rng(self, index: int) -> np.random.Generator:
         return np.random.default_rng(
             (self.cfg.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
+
+    def _load(self, path: str, rng, grayscale: bool) -> np.ndarray:
+        """One image through the host pipeline — or, with ``cfg.device_aug``,
+        decode+resize only (uint8; crop/flip/normalize/grayscale move to
+        device, data/device_transforms.py)."""
+        img = load_rgb(path)
+        if getattr(self.cfg, "device_aug", False):
+            return apply_resize_only(img, self.cfg)
+        return apply_transform(img, self.cfg, rng, grayscale=grayscale)
 
     def _gray(self):
         cfg = self.cfg
@@ -68,8 +78,8 @@ class UnalignedDataset(_Base):
             b_index = int(self._rng(index ^ 0x5EED).integers(0, self.b_size))
         b_path = self.b_paths[b_index]
         gray_a, gray_b = self._gray()
-        a = apply_transform(load_rgb(a_path), cfg, rng, grayscale=gray_a)
-        b = apply_transform(load_rgb(b_path), cfg, rng, grayscale=gray_b)
+        a = self._load(a_path, rng, gray_a)
+        b = self._load(b_path, rng, gray_b)
         return {"A": a, "B": b, "img_source": a, "img_target": b,
                 "A_paths": a_path, "B_paths": b_path}
 
@@ -93,6 +103,15 @@ class AlignedDataset(_Base):
         ab = load_rgb(ab_path)
         w, h = ab.size
         w2 = w // 2
+        if getattr(cfg, "device_aug", False):
+            # host = split + resize only; joint crop/flip run on device with
+            # ALIGNED_GROUPS (one draw for the AB pair)
+            a = np.asarray(resize(ab.crop((0, 0, w2, h)),
+                                  (cfg.load_size, cfg.load_size)), np.uint8)
+            b = np.asarray(resize(ab.crop((w2, 0, w, h)),
+                                  (cfg.load_size, cfg.load_size)), np.uint8)
+            return {"A": a, "B": b, "img_source": a, "img_target": b,
+                    "A_paths": ab_path, "B_paths": ab_path}
         a = to_array(resize(ab.crop((0, 0, w2, h)), (cfg.load_size, cfg.load_size)))
         b = to_array(resize(ab.crop((w2, 0, w, h)), (cfg.load_size, cfg.load_size)))
         # joint crop — same offsets for A and B (reference aligned_dataset.py:33-38;
@@ -132,5 +151,5 @@ class SingleDataset(_Base):
         a_path = self.a_paths[index]
         gray_a, _ = self._gray()
         rng = self._rng(index) if cfg.is_train else None
-        a = apply_transform(load_rgb(a_path), cfg, rng, grayscale=gray_a)
+        a = self._load(a_path, rng, gray_a)
         return {"A": a, "A_paths": a_path}

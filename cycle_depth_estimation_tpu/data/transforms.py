@@ -84,6 +84,25 @@ def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
     return (arr[..., 0:1] * 0.299 + arr[..., 1:2] * 0.587 + arr[..., 2:3] * 0.114)
 
 
+def apply_resize_only(img: Image.Image, cfg) -> np.ndarray:
+    """Host half of the device-aug split (``cfg.device_aug``): decode+resize
+    only, returning uint8 HWC at ``load_size``. Crop/flip/normalize/grayscale
+    then run on device (data/device_transforms.py). Only fixed-output-shape
+    modes are supported (stacking into batches needs uniform shapes).
+    """
+    mode = cfg.resize_or_crop
+    if mode == "resize_and_crop":
+        img = resize(img, (cfg.load_size, cfg.load_size))
+    else:
+        raise ValueError(
+            f"--device_aug supports resize_or_crop=resize_and_crop only "
+            f"(got {mode}: variable pre-crop shapes cannot batch)")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def apply_transform(img: Image.Image, cfg, rng: Optional[np.random.Generator],
                     grayscale: bool = False) -> np.ndarray:
     """The full reference get_transform pipeline for one image.

@@ -85,6 +85,10 @@ def main(argv=None):
     p.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--epochs", type=int, default=2, help="timed epochs (+1 warmup)")
     p.add_argument("--dataset-mode", default="unaligned")
+    p.add_argument("--device-aug", action="store_true",
+                   help="also measure the cfg.device_aug split: host does "
+                        "decode+resize only (uint8), crop/flip/normalize "
+                        "jitted on device")
     p.add_argument("--json", action="store_true", help="print one JSON line only")
     args = p.parse_args(argv)
 
@@ -112,12 +116,47 @@ def main(argv=None):
             print(f"workers={w:2d}  {rate:8.1f} img/s "
                   f"({n_img} imgs in {secs:.2f}s)")
 
+    dev_results = []
+    if args.device_aug:
+        import jax
+
+        from cycle_depth_estimation_tpu.data.device_transforms import (
+            wrap_for_config)
+
+        cfg_dev = cfg.replace(device_aug=True)
+        ds_dev = create_dataset(cfg_dev, "train")
+        for w in args.workers:
+            loader = DataLoader(ds_dev, batch_size=args.batch_size,
+                                shuffle=True, num_workers=w, seed=0)
+            n_img, t0 = 0, None
+            for ep in range(args.epochs + 1):
+                loader.set_epoch(ep)
+                for batch in wrap_for_config(iter(loader), cfg_dev,
+                                             jax.random.key(ep)):
+                    jax.block_until_ready(batch["A"])
+                    if t0 is not None:
+                        n_img += len(batch["A_paths"])
+                if t0 is None:
+                    t0 = time.perf_counter()
+            secs = time.perf_counter() - t0
+            rate = n_img / secs if secs > 0 else float("inf")
+            dev_results.append({"num_workers": w, "img_per_s": round(rate, 1)})
+            if not args.json:
+                print(f"device-aug workers={w:2d}  {rate:8.1f} img/s")
+
     best = max(results, key=lambda r: r["img_per_s"])
     verdict = {name: ("OK" if best["img_per_s"] >= need else "BOTTLENECK")
                for name, need in TRAIN_RATES.items()}
     out = {"metric": "loader_throughput", "value": best["img_per_s"],
            "unit": "img/s", "best_workers": best["num_workers"],
            "sweep": results, "sustains": verdict}
+    if dev_results:
+        best_dev = max(dev_results, key=lambda r: r["img_per_s"])
+        out["device_aug"] = {"value": best_dev["img_per_s"],
+                             "best_workers": best_dev["num_workers"],
+                             "sweep": dev_results,
+                             "speedup_vs_host": round(
+                                 best_dev["img_per_s"] / best["img_per_s"], 2)}
     if args.json:
         print(json.dumps(out))
     else:

@@ -64,8 +64,17 @@ def main(argv=None):
         epoch_start = time.time()
         loader_train.set_epoch(epoch)
         iter_start = time.time()
-        for batch in prefetch_to_device(loader_train, mesh,
-                                        depth=cfg.prefetch_depth):
+        data_iter = prefetch_to_device(loader_train, mesh,
+                                       depth=cfg.prefetch_depth)
+        if cfg.device_aug:
+            # host shipped resize-only uint8; finish crop/flip/normalize on
+            # device (data/device_transforms.py)
+            from cycle_depth_estimation_tpu.data.device_transforms import (
+                wrap_for_config)
+            data_iter = wrap_for_config(
+                data_iter, cfg,
+                jax.random.fold_in(jax.random.key(cfg.seed + 2), epoch))
+        for batch in data_iter:
             t_data = time.time() - iter_start
             paths = {k: v for k, v in batch.items() if isinstance(v, list)}
             arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -107,7 +116,14 @@ def main(argv=None):
         # ---- in-loop validation (reference train.py:33-49) ----
         if loader_test is not None:
             eval_losses = []
-            for i, batch in enumerate(prefetch_to_device(loader_test, mesh)):
+            eval_iter = prefetch_to_device(loader_test, mesh)
+            if cfg.device_aug:
+                from cycle_depth_estimation_tpu.data.device_transforms import (
+                    wrap_for_config)
+                eval_iter = wrap_for_config(
+                    eval_iter, cfg.replace(is_train=False),
+                    jax.random.key(cfg.seed + 3))
+            for i, batch in enumerate(eval_iter):
                 if i >= 50:
                     break
                 arrays = {k: v for k, v in batch.items()
