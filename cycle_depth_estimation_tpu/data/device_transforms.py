@@ -26,21 +26,9 @@ import numpy as np
 _LUMA = (0.299, 0.587, 0.114)
 
 
-def compose_lut(table: Sequence[Tuple[int, int]], size: int = 256) -> np.ndarray:
-    """Collapse a sequential (key→value) substitution table into one LUT.
-
-    The host `preprocess.remap_sequential` applies rules in order, each rule
-    seeing earlier rewrites (reference in-place dict iteration,
-    try_data.py:125-155). Applying the same rules to an identity lookup array
-    yields the exact composed function, so the device side is one gather.
-    Negative keys (the reference's -1 rows) can never match uint8 input and
-    are dropped.
-    """
-    lut = np.arange(size, dtype=np.int32)
-    for k, v in table:
-        if 0 <= k < size:
-            lut[lut == k] = v
-    return lut
+# LUT composition lives beside the host remap (same math both sides);
+# re-exported here for device callers.
+from .preprocess import compose_lut  # noqa: E402  (docstring: preprocess.py)
 
 
 def remap_labels(labels: jax.Array, lut) -> jax.Array:

@@ -54,9 +54,37 @@ SYN_ID_TO_REALID = [
 ]
 
 
+def compose_lut(table, size: int = 256) -> np.ndarray:
+    """Collapse a sequential (key→value) substitution table into one lookup
+    array: applying the rules in order to an identity LUT yields the exact
+    composed function (each rule sees earlier rewrites, like the reference's
+    in-place dict iteration). Negative keys can't match non-negative labels
+    and are dropped. Shared by the host fast path below and the device
+    gather (data/device_transforms.remap_labels)."""
+    lut = np.arange(size, dtype=np.int64)
+    for k, v in table:
+        if 0 <= k < size:
+            lut[lut == k] = v
+    return lut
+
+
+_LUT_CACHE: dict = {}
+
+
 def remap_sequential(labels: np.ndarray, table) -> np.ndarray:
     """Apply (key → value) substitutions in order, mutating as we go —
-    matching the reference's in-place dict iteration."""
+    matching the reference's in-place dict iteration.
+
+    Fast path: for non-negative labels < 256 (every real caller — ids ≤ 33)
+    the sequential loop (~35 full-image passes, 24.5 ms at 1242×375) is
+    replaced by one gather through the composed LUT (~1 ms); equivalence is
+    tested in tests/test_device_transforms.py."""
+    if labels.size and labels.min() >= 0 and labels.max() < 256:
+        key = tuple(map(tuple, table))
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            lut = _LUT_CACHE.setdefault(key, compose_lut(table))
+        return lut[labels.astype(np.int64)].astype(labels.dtype)
     out = labels.copy()
     for k, v in table:
         out[out == k] = v
@@ -106,24 +134,22 @@ def depth_bands(depth: np.ndarray, train: bool = True
     reference's band-5-normalized-by-band-4-min quirk; eval mode uses the
     reference's max-only formulas.
     """
-    d = depth.astype(np.float32).copy()
-    d2, d3, d4, d5 = d.copy(), d.copy(), d.copy(), d.copy()
-    d[d > 8000] = 8000
-
-    d2[d2 > 8000] = 8000
-    d2[d < 5000] = 5000
+    # vectorized rewrite of the reference's masked in-place band clips
+    # (each `x[m] = v` pass costs a mask + fancy write; clip/where fuse) —
+    # bitwise-identical outputs, asserted by the preexisting oracle tests.
+    d0 = depth.astype(np.float32)
+    d = np.minimum(d0, 8000)
+    d2 = np.where(d0 < 5000, np.float32(5000), np.minimum(d0, 8000))
     d2 = 2 * (d2 - d2.min()) / _safe_span(d2.min(), d2.max()) - 1
 
-    d3[d > 6000] = 6000
-    d3[d < 3000] = 3000
+    d3 = np.clip(d0, 3000, 6000)
     d3 = 2 * (d3 - d3.min()) / _safe_span(d3.min(), d3.max()) - 1
 
-    d4[d > 4000] = 4000
-    d4[d < 1000] = 1000
+    d4 = np.clip(d0, 1000, 4000)
     d4_min = d4.min()
     d4n = 2 * (d4 - d4_min) / _safe_span(d4_min, d4.max()) - 1
 
-    d5[d > 2000] = 2000
+    d5 = np.minimum(d0, 2000)
     if train:
         # reference quirk: offset by band-4's min (try_data.py:268)
         d5n = 2 * (d5 - d4_min) / _safe_span(d5.min(), d5.max()) - 1
