@@ -15,3 +15,6 @@ __all__ = [
     "shard_batch",
     "host_shard_batch",
 ]
+
+# tensor (channel) parallelism lives in .tensor (imported lazily by callers
+# to keep bare-mesh imports light); spatial sharding in .spatial

@@ -65,3 +65,34 @@ def test_dp_step_equals_single_device():
     for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
                                    rtol=1e-5)
+
+
+def test_tp_generator_forward_and_grads_match():
+    """Megatron col/row channel sharding of the residual trunk: forward and
+    param gradients over a ('data','model') 2x4 mesh match single-device."""
+    from cycle_depth_estimation_tpu.parallel.tensor import (
+        shard_params_tp, tp_shardings)
+
+    mesh = make_2d_mesh(data=2, model=4)
+    g = ResnetGenerator(output_nc=3, ngf=4, n_blocks=2)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 32, 32, 3), jnp.float32)
+    params = g.init(jax.random.key(0), x)
+
+    def loss(p, xx):
+        return jnp.mean(jax.jit(g.apply)(p, xx) ** 2)
+
+    y_ref = np.asarray(jax.jit(g.apply)(params, x))
+    grads_ref = jax.jit(jax.grad(loss))(params, x)
+
+    # trunk block channels split over 'model', batch over 'data'
+    p_tp = shard_params_tp(params, mesh)
+    k1 = p_tp["params"]["block0"]["conv1"]["kernel"]
+    assert len(k1.sharding.device_set) == 8  # genuinely distributed
+    x_dp = jax.device_put(x, batch_sharding(mesh))
+    y_tp = np.asarray(jax.jit(g.apply)(p_tp, x_dp))
+    np.testing.assert_allclose(y_tp, y_ref, atol=2e-5)
+
+    grads_tp = jax.jit(jax.grad(loss),
+                       out_shardings=tp_shardings(params, mesh))(p_tp, x_dp)
+    for ref, got in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_tp)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
