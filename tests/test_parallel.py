@@ -96,3 +96,30 @@ def test_tp_generator_forward_and_grads_match():
                        out_shardings=tp_shardings(params, mesh))(p_tp, x_dp)
     for ref, got in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_tp)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gpipe_trunk_matches_sequential():
+    """8 residual blocks staged 4x2 over a 'stage' axis (GPipe schedule,
+    shard_map + ppermute) == applying the blocks sequentially."""
+    from cycle_depth_estimation_tpu.models.networks import ResnetBlock
+    from cycle_depth_estimation_tpu.parallel.pipeline import (
+        gpipe_apply, stack_stage_params)
+
+    dim, L, S, M = 8, 8, 4, 4
+    block = ResnetBlock(dim)
+    x = jnp.asarray(np.random.RandomState(2).rand(8, 8, 8, dim), jnp.float32)
+    blocks = [block.init(jax.random.key(i), x[:2])["params"]
+              for i in range(L)]
+
+    y_ref = x
+    for p in blocks:
+        y_ref = block.apply({"params": p}, y_ref)
+
+    mesh = make_mesh([S], axis_names=("stage",),
+                     devices=jax.devices()[:S])
+    stacked = stack_stage_params(blocks, S)
+    y_pp = gpipe_apply(
+        lambda p, h: block.apply({"params": p}, h), stacked, x, mesh,
+        n_microbatches=M)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-4)
