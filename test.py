@@ -39,6 +39,16 @@ def main(argv=None):
         jax.config.update("jax_default_matmul_precision", "highest")
 
     loader = create_dataloader(cfg, phase=cfg.phase, shuffle=False)
+
+    def _finish_on_device(it):
+        """cfg.device_aug datasets ship resize-only uint8 — finish the
+        (deterministic center-crop) transform on device before the model."""
+        if not cfg.device_aug:
+            return it
+        from cycle_depth_estimation_tpu.data.device_transforms import (
+            wrap_for_config)
+        return wrap_for_config(it, cfg, jax.random.key(cfg.seed))
+
     model = create_model(cfg)
     state = model.init_state_on_host(jax.random.key(cfg.seed))
     if pth_path is not None:
@@ -64,8 +74,8 @@ def main(argv=None):
         variables = {"params": state.params[name]}
         if state.batch_stats.get(name):
             variables["batch_stats"] = state.batch_stats[name]
-        first = next(iter(create_dataloader(cfg, phase=cfg.phase,
-                                            shuffle=False)))
+        first = next(_finish_on_device(iter(create_dataloader(
+            cfg, phase=cfg.phase, shuffle=False))))
         calib = jnp.asarray(first["A"])
         sites = calibrate_model(lambda a: g.apply(variables, a), calib)
         print(f"int8 serving: {len(sites)} conv sites quantized")
@@ -76,7 +86,7 @@ def main(argv=None):
     webpage = HTML(web_dir, f"Experiment = {cfg.name}, Phase = {cfg.phase}, "
                             f"Epoch = {cfg.epoch}")
     n_done = 0
-    for batch in loader:
+    for batch in _finish_on_device(iter(loader)):
         if n_done >= cfg.num_test:
             break
         arrays = {k: jax.numpy.asarray(v) for k, v in batch.items()
