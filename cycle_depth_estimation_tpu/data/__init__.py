@@ -45,7 +45,18 @@ def get_dataset_class(name: str):
     return _DATASET_REGISTRY[name]
 
 
+# datasets whose __getitem__ honors cfg.device_aug (resize-only uint8 out);
+# the domain loaders (synthia/kitti/try) do their preprocessing host-side
+DEVICE_AUG_MODES = ("unaligned", "aligned", "single")
+
+
 def create_dataset(cfg, phase: str = None):
+    if getattr(cfg, "device_aug", False) and \
+            cfg.dataset_mode not in DEVICE_AUG_MODES:
+        raise ValueError(
+            f"--device_aug supports dataset_mode {DEVICE_AUG_MODES}, not "
+            f"[{cfg.dataset_mode}] — that loader ships preprocessed float "
+            f"batches which the device augmenter would re-normalize")
     cls = get_dataset_class(cfg.dataset_mode)
     return cls(cfg, phase=phase or cfg.phase)
 

@@ -80,6 +80,10 @@ class UnalignedDataset(_Base):
         gray_a, gray_b = self._gray()
         a = self._load(a_path, rng, gray_a)
         b = self._load(b_path, rng, gray_b)
+        if getattr(cfg, "device_aug", False):
+            # aliases are reattached on device post-augment (free — same
+            # buffer); emitting them here would double the host→HBM bytes
+            return {"A": a, "B": b, "A_paths": a_path, "B_paths": b_path}
         return {"A": a, "B": b, "img_source": a, "img_target": b,
                 "A_paths": a_path, "B_paths": b_path}
 
@@ -110,8 +114,7 @@ class AlignedDataset(_Base):
                                   (cfg.load_size, cfg.load_size)), np.uint8)
             b = np.asarray(resize(ab.crop((w2, 0, w, h)),
                                   (cfg.load_size, cfg.load_size)), np.uint8)
-            return {"A": a, "B": b, "img_source": a, "img_target": b,
-                    "A_paths": ab_path, "B_paths": ab_path}
+            return {"A": a, "B": b, "A_paths": ab_path, "B_paths": ab_path}
         a = to_array(resize(ab.crop((0, 0, w2, h)), (cfg.load_size, cfg.load_size)))
         b = to_array(resize(ab.crop((w2, 0, w, h)), (cfg.load_size, cfg.load_size)))
         # joint crop — same offsets for A and B (reference aligned_dataset.py:33-38;

@@ -129,41 +129,55 @@ def crop_flip_normalize(x: jax.Array, tops: jax.Array, lefts: jax.Array,
 
 def draw_augment_params(key: jax.Array, n: int, in_hw: Tuple[int, int],
                         fine_size: int, *, train: bool = True,
-                        no_flip: bool = False):
+                        no_flip: bool = False, aligned: bool = False):
     """Per-sample crop offsets + flip decisions (device RNG).
 
-    Train: uniform tops/lefts over the valid range + Bernoulli(0.5) flips
-    (the reference torchvision RandomCrop/RandomHorizontalFlip pair). Eval:
+    Unaligned/single (``aligned=False``) — train: uniform tops/lefts over
+    the full valid range [0, size−fine] + Bernoulli(0.5) flips (the
+    reference torchvision RandomCrop/RandomHorizontalFlip pair); eval:
     deterministic center crop, no flip (host parity: apply_transform
     rng=None branch).
+
+    Aligned (``aligned=True``) — the reference AB pipeline crops with
+    ``randint(0, loadSize − fineSize − 1)`` **inclusive high**, i.e. offsets
+    in [0, size−fine−1], and crops randomly at eval too; flips remain
+    train-only (host parity: datasets.AlignedDataset / reference
+    aligned_dataset.py:33-38).
     """
     h, w = in_hw
-    if not train:
+    kt, kl, kf = jax.random.split(key, 3)
+    if aligned:
+        tops = jax.random.randint(kt, (n,), 0, max(1, h - fine_size))
+        lefts = jax.random.randint(kl, (n,), 0, max(1, w - fine_size))
+    elif train:
+        tops = jax.random.randint(kt, (n,), 0, max(1, h - fine_size + 1))
+        lefts = jax.random.randint(kl, (n,), 0, max(1, w - fine_size + 1))
+    else:
         tops = jnp.full((n,), max(0, (h - fine_size) // 2), jnp.int32)
         lefts = jnp.full((n,), max(0, (w - fine_size) // 2), jnp.int32)
         return tops, lefts, jnp.zeros((n,), bool)
-    kt, kl, kf = jax.random.split(key, 3)
-    tops = jax.random.randint(kt, (n,), 0, max(1, h - fine_size + 1))
-    lefts = jax.random.randint(kl, (n,), 0, max(1, w - fine_size + 1))
-    flips = (~jnp.bool_(no_flip)) & jax.random.bernoulli(kf, 0.5, (n,))
+    flips = (jnp.bool_(train) & ~jnp.bool_(no_flip)
+             & jax.random.bernoulli(kf, 0.5, (n,)))
     return tops, lefts, flips
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fine_size", "train", "no_flip", "groups", "grayscale_keys", "dtype"))
+    "fine_size", "train", "no_flip", "groups", "aligned_flags",
+    "grayscale_keys", "dtype"))
 def _augment_batch(batch: Dict[str, jax.Array], key: jax.Array,
                    fine_size: int, train: bool, no_flip: bool,
                    groups: Tuple[Tuple[str, ...], ...],
+                   aligned_flags: Tuple[bool, ...],
                    grayscale_keys: Tuple[str, ...], dtype) -> Dict[str, jax.Array]:
     out = dict(batch)
-    for gi, group in enumerate(groups):
+    for gi, (group, aligned) in enumerate(zip(groups, aligned_flags)):
         keys = [k for k in group if k in batch]
         if not keys:
             continue
         n, h, w = batch[keys[0]].shape[:3]
         tops, lefts, flips = draw_augment_params(
             jax.random.fold_in(key, gi), n, (h, w), fine_size,
-            train=train, no_flip=no_flip)
+            train=train, no_flip=no_flip, aligned=aligned)
         for k in keys:
             out[k] = crop_flip_normalize(
                 batch[k], tops, lefts, flips, fine_size,
@@ -171,45 +185,50 @@ def _augment_batch(batch: Dict[str, jax.Array], key: jax.Array,
     return out
 
 
-# crop/flip sharing: aligned datasets draw ONE rng for the AB pair (host
-# parity: AlignedDataset joint crop), unaligned draw independently per side
-# (host parity: separate apply_transform calls). The duplicate key spellings
-# (A/img_source, B/img_target) always alias the same image, so they sit in
-# the same group.
-UNALIGNED_GROUPS = (("A", "img_source"), ("B", "img_target"))
-ALIGNED_GROUPS = (("A", "img_source", "B", "img_target"),)
+# crop/flip sharing: aligned datasets draw ONE rng for the AB pair with the
+# reference's narrower offset range (host parity: AlignedDataset joint
+# crop); unaligned draw independently per side (host parity: separate
+# apply_transform calls). The device_aug datasets emit only A/B — the
+# reference's duplicate key spellings (img_source/img_target) are aliased
+# back on device post-augment (same buffer, zero cost).
+UNALIGNED_GROUPS = (("A",), ("B",))
+ALIGNED_GROUPS = (("A", "B"),)
+_ALIASES = {"img_source": "A", "img_target": "B"}
 
 
 def wrap_for_config(iterator, cfg, key: jax.Array):
     """Pick groups/grayscale for ``cfg`` and wrap ``iterator`` (the
     ``cfg.device_aug`` path used by train.py/test.py).
 
-    Mirrors datasets._Base._gray for the grayscale sides; aligned datasets
-    share one crop/flip draw across the AB pair.
+    Mirrors datasets._Base._gray for the grayscale sides.
     """
-    groups = (ALIGNED_GROUPS if cfg.dataset_mode == "aligned"
-              else UNALIGNED_GROUPS)
+    aligned = cfg.dataset_mode == "aligned"
+    groups = ALIGNED_GROUPS if aligned else UNALIGNED_GROUPS
+    flags = (True,) if aligned else (False, False)
     if cfg.direction == "BtoA":
         gray_a, gray_b = cfg.output_nc == 1, cfg.input_nc == 1
     else:
         gray_a, gray_b = cfg.input_nc == 1, cfg.output_nc == 1
-    gkeys = (("A", "img_source") if gray_a else ()) + (
-        ("B", "img_target") if gray_b else ())
+    gkeys = (("A",) if gray_a else ()) + (("B",) if gray_b else ())
     return device_augment_batches(iterator, cfg, key, groups=groups,
-                                  grayscale_keys=gkeys)
+                                  aligned_flags=flags, grayscale_keys=gkeys)
 
 
 def device_augment_batches(iterator, cfg, key: jax.Array, *,
                            groups: Tuple[Tuple[str, ...], ...] = UNALIGNED_GROUPS,
+                           aligned_flags: Tuple[bool, ...] = None,
                            grayscale_keys: Tuple[str, ...] = (),
                            dtype=jnp.float32):
     """Wrap a uint8-batch iterator (datasets built with cfg.device_aug) and
     yield augmented, normalized device batches.
 
     Leaves not named in ``groups`` (paths, metadata, labels) pass through
-    untouched. Each batch gets a fresh fold of ``key`` so batches differ but
-    runs are reproducible.
+    untouched; the reference alias spellings (img_source=A, img_target=B)
+    are attached to the output. Each batch gets a fresh fold of ``key`` so
+    batches differ but runs are reproducible.
     """
+    if aligned_flags is None:
+        aligned_flags = (False,) * len(groups)
     for i, batch in enumerate(iterator):
         named = {k for g in groups for k in g}
         arrays = {k: v for k, v in batch.items()
@@ -219,5 +238,9 @@ def device_augment_batches(iterator, cfg, key: jax.Array, *,
             {k: jnp.asarray(v) for k, v in arrays.items()},
             jax.random.fold_in(key, i), cfg.fine_size,
             bool(cfg.is_train), bool(cfg.no_flip), groups,
-            tuple(grayscale_keys), dtype)
-        yield {**{k: aug[k] for k in arrays}, **others}
+            tuple(aligned_flags), tuple(grayscale_keys), dtype)
+        out = {**{k: aug[k] for k in arrays}, **others}
+        for alias, base in _ALIASES.items():
+            if base in out and alias not in out:
+                out[alias] = out[base]
+        yield out

@@ -58,13 +58,14 @@ def compose_lut(table, size: int = 256) -> np.ndarray:
     """Collapse a sequential (key→value) substitution table into one lookup
     array: applying the rules in order to an identity LUT yields the exact
     composed function (each rule sees earlier rewrites, like the reference's
-    in-place dict iteration). Negative keys can't match non-negative labels
-    and are dropped. Shared by the host fast path below and the device
-    gather (data/device_transforms.remap_labels)."""
+    in-place dict iteration). Rules match LUT *values*, so out-of-range keys
+    (e.g. the tables' -1 rows, or a key introduced by an earlier rewrite)
+    compose correctly; only the input domain must be [0, size). Shared by
+    the host fast path below and the device gather
+    (data/device_transforms.remap_labels)."""
     lut = np.arange(size, dtype=np.int64)
     for k, v in table:
-        if 0 <= k < size:
-            lut[lut == k] = v
+        lut[lut == k] = v
     return lut
 
 

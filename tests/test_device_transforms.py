@@ -179,3 +179,59 @@ def test_wrap_for_config_grayscale(tmp_path):
                                          jax.random.key(2))))
     assert batch["A"].shape == (3, 32, 32, 1)
     assert batch["B"].shape == (3, 32, 32, 3)
+
+
+def test_device_aug_rejects_preprocessed_datasets():
+    """Domain loaders ship preprocessed floats; --device_aug must fail
+    loudly there, not silently re-normalize (code-review finding)."""
+    from cycle_depth_estimation_tpu.config import Config
+    from cycle_depth_estimation_tpu.data import create_dataset
+
+    with pytest.raises(ValueError, match="device_aug"):
+        create_dataset(Config(dataset_mode="kitti", device_aug=True), "train")
+
+
+def test_aligned_offsets_match_torch_range():
+    """Aligned crops draw in [0, load-fine-1] (torch randint inclusive-high
+    quirk), not the full [0, load-fine] range; eval still crops randomly."""
+    h, w, fine = 36, 36, 32
+    tops = []
+    for s in range(40):
+        t, l, f = dt.draw_augment_params(
+            jax.random.key(s), 8, (h, w), fine, train=False, aligned=True)
+        tops.append(np.asarray(t))
+        assert not bool(np.asarray(f).any())  # flips stay train-only
+    tops = np.concatenate(tops)
+    assert tops.max() <= h - fine - 1
+    assert tops.min() >= 0
+    assert len(np.unique(tops)) > 1  # random at eval (reference quirk)
+
+
+def test_compose_lut_out_of_range_chain():
+    """Rules whose key is outside the input domain still compose (they can
+    match values introduced by earlier rules)."""
+    table = [(5, 300), (300, 7), (2, -1), (-1, 9)]
+    labels = np.array([5, 2, 0], np.int32)
+    # slow path oracle: apply sequentially by hand
+    ref = labels.copy()
+    for k, v in table:
+        ref[ref == k] = v
+    got = pp.compose_lut(table)[labels]
+    np.testing.assert_array_equal(got, ref)
+    # and the public fast path agrees
+    np.testing.assert_array_equal(pp.remap_sequential(labels, table), ref)
+
+
+def test_device_aug_no_alias_transfer(tmp_path):
+    """device_aug datasets emit only A/B (no duplicated alias arrays on the
+    host side); the wrapper reattaches img_source/img_target on device."""
+    from cycle_depth_estimation_tpu.data import create_dataset
+    from cycle_depth_estimation_tpu.data.loader import DataLoader
+
+    _mkimgs(tmp_path)
+    cfg = _cfg(tmp_path)
+    ds = create_dataset(cfg, "train")
+    assert "img_source" not in ds[0]
+    loader = DataLoader(ds, batch_size=3, shuffle=False, num_workers=1)
+    b = next(iter(dt.wrap_for_config(iter(loader), cfg, jax.random.key(4))))
+    assert b["img_source"] is b["A"] and b["img_target"] is b["B"]

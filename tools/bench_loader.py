@@ -58,6 +58,13 @@ def synthesize_dataset(root: str, n: int, size: int, seed: int = 0) -> None:
             img.save(os.path.join(d, f"{i:05d}.jpg"), quality=92)
 
 
+def _batch_size(batch) -> int:
+    for v in batch.values():
+        if isinstance(v, np.ndarray):
+            return len(v)
+    return len(next(iter(batch.values())))
+
+
 def run_epochs(loader: DataLoader, epochs: int) -> tuple[float, int]:
     """Return (seconds, images) over ``epochs`` full passes (first is warmup)."""
     n_img = 0
@@ -66,7 +73,7 @@ def run_epochs(loader: DataLoader, epochs: int) -> tuple[float, int]:
         loader.set_epoch(ep)
         for batch in loader:
             if t0 is not None:
-                n_img += len(batch["A_paths"])
+                n_img += _batch_size(batch)
         if t0 is None:  # warmup epoch done (thread pool spun up, page cache)
             t0 = time.perf_counter()
     return time.perf_counter() - t0, n_img
@@ -133,9 +140,11 @@ def main(argv=None):
                 loader.set_epoch(ep)
                 for batch in wrap_for_config(iter(loader), cfg_dev,
                                              jax.random.key(ep)):
-                    jax.block_until_ready(batch["A"])
+                    arrs = [v for v in batch.values()
+                            if isinstance(v, jax.Array)]
+                    jax.block_until_ready(arrs)
                     if t0 is not None:
-                        n_img += len(batch["A_paths"])
+                        n_img += len(arrs[0])
                 if t0 is None:
                     t0 = time.perf_counter()
             secs = time.perf_counter() - t0
