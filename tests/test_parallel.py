@@ -123,3 +123,27 @@ def test_gpipe_trunk_matches_sequential():
         n_microbatches=M)
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_sharded_s2d_trunk_matches():
+    """The flagship DenseNet trunk (GeneralNet, small config) with image
+    height sharded over 'model' == unsharded — SP extends beyond the
+    CycleGAN generator to the research model."""
+    from cycle_depth_estimation_tpu.models.s2d_networks import GeneralNet
+
+    mesh = make_2d_mesh(data=2, model=4)
+    net = GeneralNet(mid_nc=64, num_init_features=16, growth_rate=8,
+                     block_config=(2, 2, 2, 2))
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 96, 3), jnp.float32)
+    params = net.init(jax.random.key(0), x, "R")
+
+    (psp_ref, feats_ref), = [net.apply(params, x, "R")]
+    y_sh = jax.jit(lambda p, xx: net.apply(p, xx, "R"))(
+        jax.device_put(params, replicated(mesh)),
+        shard_spatial(mesh, x))
+    psp_sh, feats_sh = y_sh
+    np.testing.assert_allclose(np.asarray(psp_sh), np.asarray(psp_ref),
+                               atol=3e-5, rtol=1e-4)
+    for a, b in zip(feats_sh, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
