@@ -147,8 +147,12 @@ class BaseModel:
         cfg = self.cfg
         new_opts = dict(state.opt_states)
         for name in self.lr_opt_names:
-            base = cfg.lr_d if name.startswith("D") and cfg.lr_d else cfg.lr
-            lr = lr_schedule(cfg.lr_policy, base, epoch=epoch, niter=cfg.niter,
+            # every scheduled optimizer is built and rebased from cfg.lr —
+            # the reference steps all its schedulers from opt.lr (e.g.
+            # models/cycle_gan_model.py builds optimizer_D with opt.lr);
+            # cfg.lr_d is the base-generation my_seg_depth/train.py flag and
+            # no scheduled model here initializes with it
+            lr = lr_schedule(cfg.lr_policy, cfg.lr, epoch=epoch, niter=cfg.niter,
                              niter_decay=cfg.niter_decay,
                              lr_decay_iters=cfg.lr_decay_iters)
             new_opts[name] = set_opt_lr(state.opt_states[name], lr)

@@ -85,7 +85,12 @@ class CycleGANModel(BaseModel):
 
     # ------------------------------------------------------------------
     def _forward_g(self, params, stats, real_A, real_B, train, rng):
-        """fake_B, rec_A, fake_A, rec_B (+ identity passes).
+        """fake_B, rec_A, fake_A, rec_B (+ identity passes) + updated stats.
+
+        BatchNorm stats (``--norm batch``; empty pytrees under the instance
+        default) thread in the reference forward order — the 4 forward()
+        passes then the 2 backward_G identity passes, which is exactly this
+        sequence (cycle_gan_model.py:86-89,104-110).
 
         With cfg.remat, each generator application is wrapped in
         `jax.checkpoint`: the G loss holds 6 generator activations live for
@@ -93,26 +98,28 @@ class CycleGANModel(BaseModel):
         remat recomputes them instead.
         """
         k = jax.random.split(rng, 6) if rng is not None else [None] * 6
+        stats = dict(stats)
 
-        def apply_g(module, p, s, x, key):
-            def fwd(p, x):
-                return self._apply(module, p, s, x, train=train, rng=key)[0]
+        def apply_g(module, p, name, x, key):
+            def fwd(p, x, s):
+                return self._apply(module, p, s, x, train=train, rng=key)
 
             if self.cfg.remat:
                 fwd = jax.checkpoint(fwd)
-            return fwd(p, x)
+            out, stats[name] = fwd(p, x, stats[name])
+            return out
 
-        fake_B = apply_g(self.net_G_A, params["G_A"], stats["G_A"], real_A, k[0])
-        rec_A = apply_g(self.net_G_B, params["G_B"], stats["G_B"], fake_B, k[1])
-        fake_A = apply_g(self.net_G_B, params["G_B"], stats["G_B"], real_B, k[2])
-        rec_B = apply_g(self.net_G_A, params["G_A"], stats["G_A"], fake_A, k[3])
-        idt_A = apply_g(self.net_G_A, params["G_A"], stats["G_A"], real_B, k[4])
-        idt_B = apply_g(self.net_G_B, params["G_B"], stats["G_B"], real_A, k[5])
-        return fake_B, rec_A, fake_A, rec_B, idt_A, idt_B
+        fake_B = apply_g(self.net_G_A, params["G_A"], "G_A", real_A, k[0])
+        rec_A = apply_g(self.net_G_B, params["G_B"], "G_B", fake_B, k[1])
+        fake_A = apply_g(self.net_G_B, params["G_B"], "G_B", real_B, k[2])
+        rec_B = apply_g(self.net_G_A, params["G_A"], "G_A", fake_A, k[3])
+        idt_A = apply_g(self.net_G_A, params["G_A"], "G_A", real_B, k[4])
+        idt_B = apply_g(self.net_G_B, params["G_B"], "G_B", real_A, k[5])
+        return fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, stats
 
     def _g_losses(self, g_params, d_params, stats, real_A, real_B, train, rng):
         cfg = self.cfg
-        fake_B, rec_A, fake_A, rec_B, idt_A, idt_B = self._forward_g(
+        fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, stats = self._forward_g(
             g_params, stats, real_A, real_B, train, rng)
         if cfg.lambda_identity > 0:
             loss_idt_A = l1_loss(idt_A, real_B) * cfg.lambda_b * cfg.lambda_identity
@@ -120,10 +127,13 @@ class CycleGANModel(BaseModel):
         else:
             loss_idt_A = jnp.zeros(())
             loss_idt_B = jnp.zeros(())
-        pred_fake_B, _ = self._apply(self.net_D_A, d_params["D_A"], stats["D_A"],
-                                     fake_B, train=False)
-        pred_fake_A, _ = self._apply(self.net_D_B, d_params["D_B"], stats["D_B"],
-                                     fake_A, train=False)
+        # reference backward_G runs the Ds in train mode (torch modules are
+        # never .eval()'d during optimize_parameters) → BN stats advance here
+        stats = dict(stats)
+        pred_fake_B, stats["D_A"] = self._apply(
+            self.net_D_A, d_params["D_A"], stats["D_A"], fake_B, train=train)
+        pred_fake_A, stats["D_B"] = self._apply(
+            self.net_D_B, d_params["D_B"], stats["D_B"], fake_A, train=train)
         loss_G_A = gan_loss(pred_fake_B, True, self.gan_mode)
         loss_G_B = gan_loss(pred_fake_A, True, self.gan_mode)
         loss_cycle_A = l1_loss(rec_A, real_A) * cfg.lambda_a
@@ -131,23 +141,28 @@ class CycleGANModel(BaseModel):
         loss_G = (loss_G_A + loss_G_B + loss_cycle_A + loss_cycle_B
                   + loss_idt_A + loss_idt_B)
         aux = dict(fake_B=fake_B, rec_A=rec_A, fake_A=fake_A, rec_B=rec_B,
-                   idt_A=idt_A, idt_B=idt_B,
+                   idt_A=idt_A, idt_B=idt_B, stats=stats,
                    G_A=loss_G_A, G_B=loss_G_B, cycle_A=loss_cycle_A,
                    cycle_B=loss_cycle_B, idt_a=loss_idt_A, idt_b=loss_idt_B)
         return loss_G, aux
 
-    def _d_losses(self, d_params, stats, real_B, fake_B_mix, real_A, fake_A_mix):
-        def d_basic(module, p, s, real, fake):
-            pred_real, _ = self._apply(module, p, s, real, train=False)
-            pred_fake, _ = self._apply(module, p, s, fake, train=False)
+    def _d_losses(self, d_params, stats, real_B, fake_B_mix, real_A, fake_A_mix,
+                  train=False):
+        stats = dict(stats)
+
+        def d_basic(module, p, name, real, fake):
+            pred_real, s = self._apply(module, p, stats[name], real,
+                                       train=train)
+            pred_fake, stats[name] = self._apply(module, p, s, fake,
+                                                 train=train)
             return 0.5 * (gan_loss(pred_real, True, self.gan_mode)
                           + gan_loss(pred_fake, False, self.gan_mode))
 
-        loss_D_A = d_basic(self.net_D_A, d_params["D_A"], stats["D_A"],
+        loss_D_A = d_basic(self.net_D_A, d_params["D_A"], "D_A",
                            real_B, fake_B_mix)
-        loss_D_B = d_basic(self.net_D_B, d_params["D_B"], stats["D_B"],
+        loss_D_B = d_basic(self.net_D_B, d_params["D_B"], "D_B",
                            real_A, fake_A_mix)
-        return loss_D_A + loss_D_B, (loss_D_A, loss_D_B)
+        return loss_D_A + loss_D_B, (loss_D_A, loss_D_B, stats)
 
     # ------------------------------------------------------------------
     def _step_train(self, state: ModelState, batch, rng):
@@ -167,6 +182,7 @@ class CycleGANModel(BaseModel):
         (loss_G, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_sub)
         g_upd, opt_G_state = self.opt_G.update(g_grads, state.opt_states["G"], g_sub)
         g_sub = optax.apply_updates(g_sub, g_upd)
+        stats = jax.lax.stop_gradient(aux["stats"])  # G+D BN stats so far
 
         fake_B = jax.lax.stop_gradient(aux["fake_B"])
         fake_A = jax.lax.stop_gradient(aux["fake_A"])
@@ -182,13 +198,15 @@ class CycleGANModel(BaseModel):
             pools["fake_A"], fake_A_mix = pool_query(pools["fake_A"], fake_A, ka,
                                                      cfg.pool_size)
 
-            def d_loss_fn(dp):
-                total, (la, lb) = self._d_losses(dp, stats, real_B, fake_B_mix,
-                                                 real_A, fake_A_mix)
-                return total, (la, lb)
+            def d_loss_fn(dp, stats=stats):
+                total, (la, lb, s) = self._d_losses(
+                    dp, stats, real_B, fake_B_mix, real_A, fake_A_mix,
+                    train=True)
+                return total, (la, lb, s)
 
-            (_, (loss_D_A, loss_D_B)), d_grads = jax.value_and_grad(
+            (_, (loss_D_A, loss_D_B, stats)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(d_sub)
+            stats = jax.lax.stop_gradient(stats)
             d_upd, opt_D_state = self.opt_D.update(d_grads, opt_D_state, d_sub)
             d_sub = optax.apply_updates(d_sub, d_upd)
 
@@ -199,6 +217,7 @@ class CycleGANModel(BaseModel):
         )
         new_state = state.replace(
             params=new_params,
+            batch_stats=stats,
             opt_states={"G": opt_G_state, "D": opt_D_state},
             pools=pools,
             step=state.step + 1,
@@ -213,9 +232,9 @@ class CycleGANModel(BaseModel):
         d_sub = {"D_A": params["D_A"], "D_B": params["D_B"]}
         loss_G, aux = self._g_losses(g_sub, d_sub, stats, real_A, real_B,
                                      False, None)
-        _, (loss_D_A, loss_D_B) = self._d_losses(d_sub, stats, real_B,
-                                                 aux["fake_B"], real_A,
-                                                 aux["fake_A"])
+        _, (loss_D_A, loss_D_B, _) = self._d_losses(d_sub, stats, real_B,
+                                                    aux["fake_B"], real_A,
+                                                    aux["fake_A"])
         metrics = self.metrics_dict(
             D_A=loss_D_A, G_A=aux["G_A"], cycle_A=aux["cycle_A"], idt_A=aux["idt_a"],
             D_B=loss_D_B, G_B=aux["G_B"], cycle_B=aux["cycle_B"], idt_B=aux["idt_b"],

@@ -92,7 +92,6 @@ class ResLayer(nn.Module):
     planes: int
     blocks: int
     stride: int = 1
-    in_ch: int = 0  # channels entering the layer (for downsample decision)
     dtype: Optional[Dtype] = None
 
     @nn.compact

@@ -36,9 +36,8 @@ from .s2d_networks import G1, GeneralNet, RDep, SDiscriminator, bce_dep_loss, ge
 from .seg_network import cross_entropy_loss, seg_accuracy
 
 
-def make_adam(lr, beta1):
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=beta1,
-                                                b2=0.999)
+# single Adam factory for the whole repo (review fix: was a duplicate)
+from .base_model import make_optimizer as make_adam  # noqa: F401,E402
 
 
 @register_model("S2D")

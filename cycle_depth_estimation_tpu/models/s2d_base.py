@@ -104,9 +104,15 @@ class S2DBaseModel(BaseModel):
         k_dis_g, k_dis_d = jax.random.split(rng)
         metrics = {}
 
-        # forward (model2.py:288-293): syn G_1 features + real trunk pass
-        syn_f1, stats["G_1"] = self._apply(self.net_G_1, params["G_1"],
-                                           stats["G_1"], syn_img, train=True)
+        # forward (model2.py:288-293): real trunk pass. The reference's
+        # forward() also runs G_1 once here and backward_G reuses the stored
+        # graph; under jit the gradient needs the recompute inside g_loss_fn,
+        # so THAT pass is G_1's single BN-stat update (a duplicate top-level
+        # pass would advance G_1 stats twice per step — reference has one).
+        # G_2 BN-stat updates run R,S,R,S (forward, backward_G×2, one shared
+        # frozen pass for the Seg/Dep phases) vs the reference's eager
+        # R,S,R,S,S — the 5th eager recompute produces identical features
+        # and differs only in one BN momentum replay; documented divergence.
         (real_f2, real_psp), stats["G_2"] = self._apply(
             self.net_G_2, params["G_2"], stats["G_2"], real_img, "R", train=True)
         real_feat64 = jax.lax.stop_gradient(real_f2[0])

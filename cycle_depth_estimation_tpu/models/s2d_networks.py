@@ -156,6 +156,10 @@ class DualResnetBlock(nn.Module):
         c1 = Conv(self.dim, 3, use_bias=self.use_bias, kernel_init=kaiming,
                   dtype=self.dtype, name="conv1")(reflect_pad(x, 1))
         c1 = nn.relu(Norm(self.norm, name="norm1")(c1, train=train))
+        if self.use_dropout:
+            # the reference drops BOTH branches (build_conv1_block appends
+            # Dropout(0.5) after the ReLU, networks5_ds.py:329-330)
+            c1 = nn.Dropout(0.5, deterministic=not train)(c1)
         return x + c0 + c1
 
 
@@ -227,6 +231,27 @@ class PspTrans(nn.Module):
         return avg_pool(jnp.concatenate([a, b], axis=-1), 2, 2)
 
 
+def psp_head(h, mid_nc, dtype, train):
+    """4-branch dilated PSP head shared by GeneralNet / GeneralNet2 /
+    FeatureNet (networks5_ds.py:394-409, forward 435-443; networks.py:
+    252-266 — including the quirky psp_b2 kernel-2/pad-1/dilation-2 branch).
+    Plain function called inside the owner's ``@nn.compact`` scope so the
+    parameter names stay flat (``psp_b0``…), keeping every importer path
+    unchanged."""
+    q = mid_nc // 4
+    h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
+    b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=dtype,
+              name="psp_b0")(h)
+    b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
+              dtype=dtype, name="psp_b1")(h)
+    b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
+              kernel_init=kaiming, dtype=dtype, name="psp_b2")(h)
+    b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
+              kernel_init=kaiming, dtype=dtype, name="psp_b3")(h)
+    out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+    return Norm("batch", name="psp_norm_out")(out, train=train)
+
+
 class GeneralNet(nn.Module):
     """General_net (G_2, networks5_ds.py:366-477).
 
@@ -274,18 +299,7 @@ class GeneralNet(nn.Module):
                              name=f"psptrans{i}")(h, train=train)
                 num_features //= 2
         # PSP head (networks5_ds.py:394-409, forward 435-443)
-        q = self.mid_nc // 4
-        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
-        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
-                  name="psp_b0")(h)
-        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
-                  dtype=self.dtype, name="psp_b1")(h)
-        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
-        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
-        out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-        out = Norm("batch", name="psp_norm_out")(out, train=train)
+        out = psp_head(h, self.mid_nc, self.dtype, train)
         return out, features
 
 
@@ -761,18 +775,7 @@ class GeneralNet2(nn.Module):
                 num_features //= 2
                 h = Transition(num_features, self.dtype,
                                name=f"transition{i + 1}")(h, train=train)
-        q = self.mid_nc // 4
-        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
-        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
-                  name="psp_b0")(h)
-        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
-                  dtype=self.dtype, name="psp_b1")(h)
-        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
-        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
-        out = Norm("batch", name="psp_norm_out")(
-            jnp.concatenate([b0, b1, b2, b3], axis=-1), train=train)
+        out = psp_head(h, self.mid_nc, self.dtype, train)
         return features, out
 
 
@@ -963,18 +966,7 @@ class FeatureNet(nn.Module):
                 num_features //= 2
         # 4-branch dilated PSP head (networks.py:252-266 = the General_net
         # head, forward networks.py:277-287)
-        q = self.mid_nc // 4
-        h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
-        b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
-                  name="psp_b0")(h)
-        b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
-                  dtype=self.dtype, name="psp_b1")(h)
-        b2 = Conv(q, 2, padding=1, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b2")(h)
-        b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
-                  kernel_init=kaiming, dtype=self.dtype, name="psp_b3")(h)
-        out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-        out = Norm("batch", name="psp_norm_out")(out, train=train)
+        out = psp_head(h, self.mid_nc, self.dtype, train)
         return features, out
 
 

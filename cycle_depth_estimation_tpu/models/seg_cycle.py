@@ -110,20 +110,30 @@ class SegCycleModel(BaseModel):
         real_A, real_B = batch["img_source"], batch["img_target"]
         lab_A, lab_B = batch["lab_source"], batch["lab_target"]
         stats = dict(state.batch_stats)
-        k = jax.random.split(rng, 8) if rng is not None else [None] * 8
+        # one key per seg-branch forward — independent dropout/noise
+        # draws like the reference's eager calls (review fix)
+        k = jax.random.split(rng, 10) if rng is not None else [None] * 10
 
-        fake_B, _ = self._apply(self.net_G_A, g_sub["G_A"], stats["G_A"], real_A,
-                                train=train, rng=k[0])
-        rec_A, _ = self._apply(self.net_G_B, g_sub["G_B"], stats["G_B"], fake_B,
-                               train=train, rng=k[1])
-        fake_A, _ = self._apply(self.net_G_B, g_sub["G_B"], stats["G_B"], real_B,
-                                train=train, rng=k[2])
-        rec_B, _ = self._apply(self.net_G_A, g_sub["G_A"], stats["G_A"], fake_A,
-                               train=train, rng=k[3])
-        idt_A, _ = self._apply(self.net_G_A, g_sub["G_A"], stats["G_A"], real_B,
-                               train=train, rng=k[4])
-        idt_B, _ = self._apply(self.net_G_B, g_sub["G_B"], stats["G_B"], real_A,
-                               train=train, rng=k[5])
+        # G_A/G_B BatchNorm stats thread in reference forward order (empty
+        # pytrees under the instance default; review fix — were discarded)
+        fake_B, stats["G_A"] = self._apply(self.net_G_A, g_sub["G_A"],
+                                           stats["G_A"], real_A,
+                                           train=train, rng=k[0])
+        rec_A, stats["G_B"] = self._apply(self.net_G_B, g_sub["G_B"],
+                                          stats["G_B"], fake_B,
+                                          train=train, rng=k[1])
+        fake_A, stats["G_B"] = self._apply(self.net_G_B, g_sub["G_B"],
+                                           stats["G_B"], real_B,
+                                           train=train, rng=k[2])
+        rec_B, stats["G_A"] = self._apply(self.net_G_A, g_sub["G_A"],
+                                          stats["G_A"], fake_A,
+                                          train=train, rng=k[3])
+        idt_A, stats["G_A"] = self._apply(self.net_G_A, g_sub["G_A"],
+                                          stats["G_A"], real_B,
+                                          train=train, rng=k[4])
+        idt_B, stats["G_B"] = self._apply(self.net_G_B, g_sub["G_B"],
+                                          stats["G_B"], real_A,
+                                          train=train, rng=k[5])
         loss_idt_A = l1_loss(idt_A, real_B) * cfg.lambda_b * cfg.lambda_identity
         loss_idt_B = l1_loss(idt_B, real_A) * cfg.lambda_a * cfg.lambda_identity
 
@@ -136,7 +146,7 @@ class SegCycleModel(BaseModel):
         sAf, segAfake, stats["encoderB"], stats["decoderA"] = self._seg_basic(
             self.net_encoderB, self.net_decoderA, g_sub["encoderB"],
             g_sub["decoderA"], stats["encoderB"], stats["decoderA"],
-            fake_B, lab_A, train, k[6])
+            fake_B, lab_A, train, k[8])
         sB, segBreal, stats["encoderB"], stats["decoderB"] = self._seg_basic(
             self.net_encoderB, self.net_decoderB, g_sub["encoderB"],
             g_sub["decoderB"], stats["encoderB"], stats["decoderB"],
@@ -144,12 +154,15 @@ class SegCycleModel(BaseModel):
         sBf, segBfake, stats["encoderA"], stats["decoderB"] = self._seg_basic(
             self.net_encoderA, self.net_decoderB, g_sub["encoderA"],
             g_sub["decoderB"], stats["encoderA"], stats["decoderB"],
-            fake_A, lab_B, train, k[7])
+            fake_A, lab_B, train, k[9])
 
-        pred_fake_B, _ = self._apply(self.net_D_A, d_sub["D_A"], stats["D_A"],
-                                     fake_B, train=False)
-        pred_fake_A, _ = self._apply(self.net_D_B, d_sub["D_B"], stats["D_B"],
-                                     fake_A, train=False)
+        # reference runs the Ds in train mode here (never .eval()'d)
+        pred_fake_B, stats["D_A"] = self._apply(self.net_D_A, d_sub["D_A"],
+                                                stats["D_A"], fake_B,
+                                                train=train)
+        pred_fake_A, stats["D_B"] = self._apply(self.net_D_B, d_sub["D_B"],
+                                                stats["D_B"], fake_A,
+                                                train=train)
         loss_G_A = gan_loss(pred_fake_B, True, self.gan_mode)
         loss_G_B = gan_loss(pred_fake_A, True, self.gan_mode)
         loss_cycle_A = l1_loss(rec_A, real_A) * cfg.lambda_a
@@ -166,16 +179,19 @@ class SegCycleModel(BaseModel):
                    stats=stats)
         return total, aux
 
-    def _d_losses(self, d_sub, stats, real_B, fake_B, real_A, fake_A):
-        def d_basic(mod, p, s, real, fake):
-            pr, _ = self._apply(mod, p, s, real, train=False)
-            pf, _ = self._apply(mod, p, s, fake, train=False)
+    def _d_losses(self, d_sub, stats, real_B, fake_B, real_A, fake_A,
+                  train=False):
+        stats = dict(stats)
+
+        def d_basic(mod, p, name, real, fake):
+            pr, s = self._apply(mod, p, stats[name], real, train=train)
+            pf, stats[name] = self._apply(mod, p, s, fake, train=train)
             return 0.5 * (gan_loss(pr, True, self.gan_mode)
                           + gan_loss(pf, False, self.gan_mode))
 
-        la = d_basic(self.net_D_A, d_sub["D_A"], stats["D_A"], real_B, fake_B)
-        lb = d_basic(self.net_D_B, d_sub["D_B"], stats["D_B"], real_A, fake_A)
-        return la + lb, (la, lb)
+        la = d_basic(self.net_D_A, d_sub["D_A"], "D_A", real_B, fake_B)
+        lb = d_basic(self.net_D_B, d_sub["D_B"], "D_B", real_A, fake_A)
+        return la + lb, (la, lb, stats)
 
     # ------------------------------------------------------------------
     def _step_train(self, state: ModelState, batch, rng):
@@ -203,12 +219,14 @@ class SegCycleModel(BaseModel):
                                                  cfg.pool_size)
 
         def d_loss_fn(dp):
-            total, (la, lb) = self._d_losses(dp, aux["stats"], real_B, fake_B_mix,
-                                             real_A, fake_A_mix)
-            return total, (la, lb)
+            total, (la, lb, s) = self._d_losses(
+                dp, aux["stats"], real_B, fake_B_mix, real_A, fake_A_mix,
+                train=True)
+            return total, (la, lb, s)
 
-        (_, (loss_D_A, loss_D_B)), d_grads = jax.value_and_grad(
+        (_, (loss_D_A, loss_D_B, d_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_sub)
+        d_stats = jax.lax.stop_gradient(d_stats)
         d_upd, opt_D_state = self.opt_D.update(d_grads, state.opt_states["D"],
                                                d_sub)
         d_sub = optax.apply_updates(d_sub, d_upd)
@@ -217,7 +235,7 @@ class SegCycleModel(BaseModel):
         metrics = self.metrics_dict(D_A=loss_D_A, D_B=loss_D_B, **ls)
         return state.replace(
             params={**g_sub, **d_sub},
-            batch_stats=aux["stats"],
+            batch_stats=d_stats,
             opt_states={"G": opt_G_state, "D": opt_D_state},
             pools=pools, step=state.step + 1), metrics
 
@@ -226,7 +244,7 @@ class SegCycleModel(BaseModel):
         g_sub = {k: params[k] for k in self.G_GROUP}
         d_sub = {k: params[k] for k in ("D_A", "D_B")}
         _, aux = self._g_losses(g_sub, d_sub, state, batch, False, None)
-        _, (loss_D_A, loss_D_B) = self._d_losses(
+        _, (loss_D_A, loss_D_B, _) = self._d_losses(
             d_sub, state.batch_stats, batch["img_target"], aux["fake_B"],
             batch["img_source"], aux["fake_A"])
         metrics = self.metrics_dict(D_A=loss_D_A, D_B=loss_D_B, **aux["losses"])

@@ -79,11 +79,16 @@ class SegModel(BaseModel):
         img_s2t, _ = self._apply(self.net_s2t, state.params["s2t"], stats["s2t"],
                                  img_s, train=False)
         img_s2t = jax.lax.stop_gradient(img_s2t)
+        # independent dropout/noise draws per forward, like the reference's
+        # two eager task-net calls (code-review fix: a shared rng correlated
+        # the syn/real streams when drop_rate>0 or add_noise)
+        rng_syn, rng_real = (jax.random.split(rng) if rng is not None
+                             else (None, None))
         out_syn, stats_t = self._apply(self.net_img2task, task_params,
                                        stats["img2task"], img_s2t, "syn",
-                                       train=train, rng=rng)
+                                       train=train, rng=rng_syn)
         out_real, stats_t = self._apply(self.net_img2task, task_params, stats_t,
-                                        img_t, "real", train=train, rng=rng)
+                                        img_t, "real", train=train, rng=rng_real)
         lab_s_pre, lab_t_pre = out_syn[1], out_real[1]
         loss_s = cross_entropy_loss(lab_s_pre, lab_s, 255)
         loss_t = cross_entropy_loss(lab_t_pre, lab_t, 255)

@@ -201,3 +201,39 @@ def test_cycle_gan_remat_step():
     state2b, metrics2 = model2.train_step(state2, batch, jax.random.key(1))
     for k in metrics:
         assert np.isclose(float(metrics[k]), float(metrics2[k]), rtol=1e-5), k
+
+
+def test_cycle_gan_batchnorm_stats_thread():
+    """--norm batch: G and D BatchNorm running stats advance every train
+    step in reference forward order and feed eval (review fix — they were
+    silently discarded, leaving eval on init stats)."""
+    cfg = small_cfg(norm="batch", no_dropout=True)
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0))
+    rng = np.random.RandomState(1)
+    batch = {
+        "img_source": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+        "img_target": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+    }
+    assert state.batch_stats["G_A"], "batch norm config must carry stats"
+    state2, metrics = model.train_step(state, batch, jax.random.key(2))
+    for net in ("G_A", "G_B", "D_A", "D_B"):
+        before = jax.tree.leaves(state.batch_stats[net])
+        after = jax.tree.leaves(state2.batch_stats[net])
+        changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                      for a, b in zip(before, after))
+        assert changed, f"{net} batch stats did not advance"
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    m2, _ = model.eval_step(state2, batch)
+    for v in m2.values():
+        assert np.isfinite(float(v))
+
+
+def test_d_lr_schedule_rebases_on_cfg_lr(cycle_setup):
+    """D optimizers are built with cfg.lr, so the scheduler must rebase them
+    on cfg.lr too (review fix — cfg.lr_d silently cut D's LR 2.5x)."""
+    cfg, model, state, batch = cycle_setup
+    state2 = model.update_learning_rate(state, epoch=20)
+    lr_d = float(state2.opt_states["D"].hyperparams["learning_rate"])
+    assert np.isclose(lr_d, cfg.lr * (1 - 10 / 30), rtol=1e-6)
