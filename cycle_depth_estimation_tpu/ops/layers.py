@@ -48,16 +48,29 @@ def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
     return (int(a), int(b))
 
 
+def _pad2(pad) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """int | (ph, pw) | ((top, bottom), (left, right)) → explicit form."""
+    if isinstance(pad, int):
+        return ((pad, pad), (pad, pad))
+    a, b = pad
+    if isinstance(a, (tuple, list)):
+        return ((int(a[0]), int(a[1])), (int(b[0]), int(b[1])))
+    return ((int(a), int(a)), (int(b), int(b)))
+
+
 def reflect_pad(x: jax.Array, pad: Union[int, Sequence[int]]) -> jax.Array:
-    """NHWC reflection padding (= nn.ReflectionPad2d)."""
-    ph, pw = _pair(pad)
-    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+    """NHWC reflection padding (= nn.ReflectionPad2d). Accepts the same
+    padding forms as Conv, incl. explicit ((top, bottom), (left, right))
+    (review fix: the reflect branch crashed on the documented explicit
+    form)."""
+    (pt, pb), (pl, pr) = _pad2(pad)
+    return jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="reflect")
 
 
 def replicate_pad(x: jax.Array, pad: Union[int, Sequence[int]]) -> jax.Array:
     """NHWC replication padding (= nn.ReplicationPad2d)."""
-    ph, pw = _pair(pad)
-    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="edge")
+    (pt, pb), (pl, pr) = _pad2(pad)
+    return jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
 
 
 class Conv(nn.Module):
@@ -173,7 +186,12 @@ class ConvTranspose(nn.Module):
         dtype = self.dtype or x.dtype
         y = None
         if (self.impl == "phases" and (sh, sw) == (2, 2)
-                and _phases_are_uniform(kh, ph) and _phases_are_uniform(kw, pw)):
+                and _phases_are_uniform(kh, ph) and _phases_are_uniform(kw, pw)
+                # the 2×2 interleave emits exactly 2H×2W rows; configs whose
+                # true output is LARGER (k + op − 2p > 2, e.g. k4/p1/op1)
+                # would be silently truncated — fall back to the dilated path
+                # (review fix; smaller outputs slice correctly)
+                and kh + oph - 2 * ph <= 2 and kw + opw - 2 * pw <= 2):
             # Phase (subpixel) decomposition — exact math, covered by the
             # torch-parity tests. Perf note (v5e, 9-block generator @256²):
             # an ISOLATED lhs-dilated conv runs at ~14 TFLOPs vs ~90 for the
@@ -447,7 +465,11 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int],
     n, h, w, c = x.shape
     oh, ow = size
     if not align_corners:
-        return jax.image.resize(x, (n, oh, ow, c), method="bilinear")
+        # antialias=False: torch F.interpolate does NOT antialias on
+        # downscale, while jax.image.resize defaults to True (review fix —
+        # divergence up to ~2.0 on a downscaled ramp; upscales unaffected)
+        return jax.image.resize(x, (n, oh, ow, c), method="bilinear",
+                                antialias=False)
 
     def axis_weights(in_len, out_len):
         if out_len == 1 or in_len == 1:

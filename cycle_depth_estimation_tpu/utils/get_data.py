@@ -15,6 +15,7 @@ Differences from the reference (both deliberate):
 from __future__ import annotations
 
 import os
+import shutil
 import tarfile
 import zipfile
 from html.parser import HTMLParser
@@ -98,7 +99,9 @@ class GetData:
         base = basename(dataset_url)
         temp_save_path = join(save_path, base)
         with urlopen(dataset_url) as r, open(temp_save_path, "wb") as f:
-            f.write(r.read())
+            # stream to disk — archives run to GBs (review fix: r.read()
+            # buffered the whole payload in RAM)
+            shutil.copyfileobj(r, f)
         self.extract(temp_save_path, save_path)
         os.remove(temp_save_path)
 
@@ -113,7 +116,9 @@ class GetData:
                 zf.extractall(dest)
         elif archive_path.endswith((".tar.gz", ".tgz", ".tar")):
             with tarfile.open(archive_path) as tf:
-                tf.extractall(dest)
+                # filter='data' rejects path-traversal members and matches
+                # the Python 3.14 default (review fix)
+                tf.extractall(dest, filter="data")
         else:
             raise ValueError(f"Unknown File Type: {basename(archive_path)}.")
         return dest

@@ -82,15 +82,42 @@ def imread_gray8(path: str) -> np.ndarray:
 
 
 def _resize_linear(img: np.ndarray, size_wh) -> np.ndarray:
-    """``cv2.resize`` default INTER_LINEAR (reference my_eval.py:54)."""
+    """``cv2.resize`` default INTER_LINEAR (reference my_eval.py:54).
+
+    The cv2-free fallback replicates INTER_LINEAR exactly with a vectorized
+    2×2 gather (half-pixel centers, edge clamp) instead of PIL — whose
+    BILINEAR antialiases on downscale and made depth metrics
+    environment-dependent (review fix)."""
     try:
         import cv2
 
         return cv2.resize(img, size_wh)
     except ImportError:
-        from PIL import Image
+        ow, oh = size_wh
+        h, w = img.shape[:2]
 
-        return np.array(Image.fromarray(img).resize(size_wh, Image.BILINEAR))
+        def coords(out_len, in_len):
+            pos = (np.arange(out_len, dtype=np.float64) + 0.5) * (
+                in_len / out_len) - 0.5
+            i0 = np.clip(np.floor(pos).astype(np.int64), 0, in_len - 1)
+            i1 = np.clip(i0 + 1, 0, in_len - 1)
+            f = np.clip(pos - np.floor(pos), 0.0, 1.0)
+            f[pos < 0] = 0.0
+            return i0, i1, f
+
+        y0, y1, fy = coords(oh, h)
+        x0, x1, fx = coords(ow, w)
+        a = img.astype(np.float64)
+        if a.ndim == 3:
+            fx, fy = fx[:, None], fy[:, None, None]
+        else:
+            fy = fy[:, None]
+        top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+        bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+        out = top * (1 - fy) + bot * fy
+        if np.issubdtype(img.dtype, np.integer):
+            out = np.round(out)
+        return out.astype(img.dtype)
 
 
 def eval_depth_dirs(gt_dir: str, pred_dir: str) -> Dict[str, float]:
@@ -133,7 +160,10 @@ def pixel_accuracy(pred: np.ndarray, label: np.ndarray,
 
 def confusion_matrix(pred: np.ndarray, label: np.ndarray, num_classes: int,
                      ignore_index: int = 255) -> np.ndarray:
-    mask = (label != ignore_index) & (label >= 0) & (label < num_classes)
+    mask = ((label != ignore_index) & (label >= 0) & (label < num_classes)
+            # out-of-range predictions (e.g. ignore-filled maps) would blow
+            # the bincount past num_classes² (review fix)
+            & (pred >= 0) & (pred < num_classes))
     idx = label[mask].astype(np.int64) * num_classes + pred[mask].astype(np.int64)
     cm = np.bincount(idx, minlength=num_classes * num_classes)
     return cm.reshape(num_classes, num_classes)

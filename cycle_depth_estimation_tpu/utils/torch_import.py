@@ -19,7 +19,7 @@ numpy arrays so the core framework has no torch dependency.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -592,9 +592,11 @@ def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
 
 
 def warm_start(target_vars: Dict[str, Any], donor_vars: Dict[str, Any]
-               ) -> Dict[str, Any]:
+               ) -> Tuple[Dict[str, Any], int]:
     """Copy donor leaves into target wherever path+shape match (the
-    reference's name-matching weight transfer, my_rf_lw.py:555-570)."""
+    reference's name-matching weight transfer, my_rf_lw.py:555-570).
+    Returns ``(merged_variables, n_transferred)`` (review fix: the count was
+    smuggled into the pytree as a bogus '_n_transferred' leaf)."""
     import copy
 
     out = copy.deepcopy(dict(target_vars))
@@ -616,5 +618,4 @@ def warm_start(target_vars: Dict[str, Any], donor_vars: Dict[str, Any]
     for coll in out:
         if coll in donor_vars:
             n += merge(out[coll], donor_vars[coll])
-    out["_n_transferred"] = n
-    return out
+    return out, n

@@ -32,6 +32,16 @@ def save_images(webpage: HTML, visuals: Dict[str, np.ndarray], image_path: str,
     ims, txts, links = [], [], []
     for label, im_data in visuals.items():
         im = tensor2im(im_data)
+        # reference stretches saved images by aspect_ratio with bicubic
+        # (util/visualizer.py:30-34; review fix — the knob was ignored)
+        h, w = im.shape[:2]
+        if aspect_ratio > 1.0 or aspect_ratio < 1.0:
+            from PIL import Image
+
+            tw = int(w * aspect_ratio) if aspect_ratio > 1.0 else w
+            th = h if aspect_ratio > 1.0 else int(h / aspect_ratio)
+            im = np.asarray(
+                Image.fromarray(im).resize((tw, th), Image.BICUBIC))
         image_name = f"{name}_{label}.png"
         save_image(im, os.path.join(image_dir, image_name))
         ims.append(image_name)

@@ -485,8 +485,7 @@ def test_torchvision_densenet_import_parity():
     g = GeneralNet2(block_config=block_config)
     init_vars = g.init(jax.random.key(0),
                        jnp.asarray(x.transpose(0, 2, 3, 1)), "R")
-    merged = warm_start(init_vars, jax.tree.map(jnp.asarray, variables))
-    n = merged.pop("_n_transferred")
+    merged, n = warm_start(init_vars, jax.tree.map(jnp.asarray, variables))
     assert n > 80  # trunk leaves transferred; PSP head keeps fresh init
     feats_out, _ = g.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), "R",
                            train=False)

@@ -142,3 +142,16 @@ def test_bench_loader_tool(tmp_path):
     assert out["value"] > 0
     assert {r["num_workers"] for r in out["sweep"]} == {1, 2}
     assert set(out["sustains"]) == {"cycle_gan bf16 train", "S2D bf16 train"}
+
+
+def test_confusion_matrix_out_of_range_pred():
+    """Out-of-range predictions (e.g. ignore-filled 255) must be masked, not
+    blow up the bincount reshape (review fix)."""
+    from cycle_depth_estimation_tpu.utils.metrics import confusion_matrix
+
+    pred = np.array([[0, 255], [1, 2]])
+    label = np.array([[0, 1], [1, 255]])
+    cm = confusion_matrix(pred, label, num_classes=3)
+    assert cm.shape == (3, 3)
+    assert cm.sum() == 2  # (0,0) and (1,1); 255s on either side dropped
+    assert cm[0, 0] == 1 and cm[1, 1] == 1

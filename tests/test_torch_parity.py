@@ -120,7 +120,8 @@ def test_resize_nearest_matches_torch():
     np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=0, rtol=0)
 
 
-@pytest.mark.parametrize("k,s,p,op", [(3, 2, 1, 1), (4, 2, 1, 0)])
+@pytest.mark.parametrize("k,s,p,op", [(3, 2, 1, 1), (4, 2, 1, 0), (4, 2, 1, 1),
+                                      (3, 2, 1, 0)])
 def test_conv_transpose_phase_impl_matches_torch(k, s, p, op):
     """The opt-in phase (subpixel) decomposition is exact too."""
     x = rand(2, 9, 7, 6)
@@ -167,3 +168,28 @@ def test_bce_backward_matches_torch_and_is_finite_at_saturation():
     assert np.isclose(ours_v, float(loss.detach()), atol=1e-6)
     assert np.isfinite(ours_g).all()
     np.testing.assert_allclose(ours_g, tp.grad.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_reflect_pad_explicit_tuple():
+    """Conv's documented explicit ((top,bottom),(left,right)) padding works
+    with padding_mode='reflect' too (review fix: reflect branch crashed)."""
+    from cycle_depth_estimation_tpu.ops.layers import reflect_pad
+
+    x = jnp.asarray(rand(1, 5, 6, 2))
+    got = reflect_pad(x, ((1, 2), (0, 3)))
+    ref = np.pad(np.asarray(x), ((0, 0), (1, 2), (0, 3), (0, 0)),
+                 mode="reflect")
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_resize_bilinear_downscale_matches_torch():
+    """align_corners=False downscale: torch does NOT antialias (review fix —
+    jax.image.resize defaults antialias=True)."""
+    from cycle_depth_estimation_tpu.ops.layers import resize_bilinear
+
+    x = rand(1, 8, 8, 3)
+    ref = F.interpolate(nchw(x), size=(3, 5), mode="bilinear",
+                        align_corners=False)
+    out = resize_bilinear(jnp.asarray(x), (3, 5), align_corners=False)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5,
+                               rtol=1e-5)
