@@ -236,14 +236,17 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="generator",
                     choices=["generator", "S2D", "S2D_base", "semantic_trans", "rf_lw",
                              "rf_lw7", "cycle_gan"])
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 1 for the S2D family, 16 for cycle_gan")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
     if args.model in ("S2D", "S2D_base", "semantic_trans", "rf_lw", "rf_lw7"):
-        main_s2d(args.batch, args.remat, args.dtype, args.model)
+        main_s2d(args.batch or 1, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":
-        main_cycle_gan(args.batch if args.batch > 1 else 16, args.dtype)
+        # explicit --batch is honored verbatim (review fix: 1 was silently
+        # coerced to the 16 default)
+        main_cycle_gan(args.batch or 16, args.dtype)
     else:
         main()

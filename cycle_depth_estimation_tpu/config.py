@@ -223,6 +223,10 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True) -> Confi
     cfg = base.replace(**{k: v for k, v in vars(ns).items() if v is not None})
     if not is_train and "phase" not in explicit:
         cfg = cfg.replace(phase="test")  # reference test_options.py:12
+    if not is_train and "model" not in explicit:
+        # reference TestOptions set_defaults(model='test') — a bare
+        # `python test.py --dataroot d/` must build TestModel, not CycleGAN
+        cfg = cfg.replace(model="test")
     cfg = apply_model_defaults(cfg, explicit)
     if cfg.suffix:
         cfg = cfg.replace(name=cfg.name + "_" + cfg.suffix.format(**vars(cfg)))

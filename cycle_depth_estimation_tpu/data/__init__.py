@@ -62,7 +62,13 @@ def create_dataset(cfg, phase: str = None):
 
 
 def create_dataloader(cfg, phase: str = None, shuffle: bool = None):
-    """Reference ``CreateDataLoader(opt)`` equivalent (data/__init__.py:44-75)."""
+    """Reference ``CreateDataLoader(opt)`` equivalent (data/__init__.py:44-75).
+
+    Divergence by design: with batch_size > 1 the final partial batch is
+    DROPPED (torch default keeps it) — a ragged batch cannot device_put onto
+    a sharded mesh axis and retriggers jit compilation of the train step on
+    a single device (minutes over the axon relay). batch_size 1 keeps every
+    sample (galleries/eval see the full dataset)."""
     from .loader import DataLoader
 
     ds = create_dataset(cfg, phase)
@@ -70,4 +76,5 @@ def create_dataloader(cfg, phase: str = None, shuffle: bool = None):
         shuffle = not cfg.serial_batches
     return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
                       num_workers=cfg.num_threads,
-                      max_dataset_size=cfg.max_dataset_size, seed=cfg.seed)
+                      max_dataset_size=cfg.max_dataset_size, seed=cfg.seed,
+                      drop_last=cfg.batch_size > 1)

@@ -108,6 +108,14 @@ def prefetch_to_device(iterator, mesh=None, depth: int = 2):
             # every process loads the same (seed-synchronized) global batch;
             # each contributes its process-local slice to the global array
             pc, pi = jax.process_count(), jax.process_index()
+            n = len(next(iter(arrays.values()))) if arrays else 0
+            if n % pc != 0:
+                # a ragged split would silently drop samples (or produce
+                # zero-length local shards) — fail with the config fix
+                raise ValueError(
+                    f"global batch {n} is not divisible by process_count "
+                    f"{pc}; set --batch_size to a multiple of the process "
+                    f"count (drop_last already removes partial batches)")
             arrays = {k: v[pi * (len(v) // pc):(pi + 1) * (len(v) // pc)]
                       for k, v in arrays.items()}
         if mesh is not None:

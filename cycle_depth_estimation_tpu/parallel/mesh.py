@@ -22,13 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None,
-              axis_names: Sequence[str] = ("data",),
+              axis_names: Optional[Sequence[str]] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Create a device mesh. Default: all devices on one ``data`` axis."""
+    """Create a device mesh. Default: all devices on one ``data`` axis; a
+    2-element shape gets ``('data', 'model')`` so `--mesh_shape D M` works
+    from the CLI (review fix: the documented model axis crashed)."""
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
-        shape = [len(devices)] + [1] * (len(axis_names) - 1)
-    arr = np.array(devices).reshape(tuple(shape))
+        shape = [len(devices)] + [1] * (len(axis_names or ("data",)) - 1)
+    if axis_names is None:
+        axis_names = ("data", "model", "stage")[:len(shape)]
+    if len(shape) != len(axis_names):
+        raise ValueError(f"mesh shape {tuple(shape)} needs "
+                         f"{len(shape)} axis names, got {tuple(axis_names)}")
+    arr = np.array(devices[: int(np.prod(shape))]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
 

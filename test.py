@@ -24,14 +24,24 @@ def main(argv=None):
 
     args = list(sys.argv[1:] if argv is None else argv)
     pth_path = None
-    if "--pth_path" in args:
-        i = args.index("--pth_path")
-        pth_path = args[i + 1]
-        del args[i:i + 2]
+    for i, a in enumerate(args):
+        if a == "--pth_path":
+            if i + 1 >= len(args):
+                raise SystemExit("--pth_path requires a value")
+            pth_path = args[i + 1]
+            del args[i:i + 2]
+            break
+        if a.startswith("--pth_path="):
+            pth_path = a.split("=", 1)[1]
+            del args[i]
+            break
 
     cfg = parse_args(args, is_train=False)
-    # reference test defaults: single-thread-friendly, no flip, loadSize=fineSize
-    cfg = cfg.replace(load_size=cfg.fine_size, no_flip=True, serial_batches=True)
+    # reference TestOptions defaults (test_options.py): model='test' is set
+    # in parse_args; batch/threads 1 (variable-shape transform modes cannot
+    # stack >1), no flip, serial order, loadSize=fineSize
+    cfg = cfg.replace(load_size=cfg.fine_size, no_flip=True,
+                      serial_batches=True, batch_size=1, num_threads=1)
     print(print_options(cfg, save=False))
     if cfg.platform != "default":
         jax.config.update("jax_platforms", cfg.platform)
@@ -74,8 +84,7 @@ def main(argv=None):
         variables = {"params": state.params[name]}
         if state.batch_stats.get(name):
             variables["batch_stats"] = state.batch_stats[name]
-        first = next(_finish_on_device(iter(create_dataloader(
-            cfg, phase=cfg.phase, shuffle=False))))
+        first = next(_finish_on_device(iter(loader)))
         calib = jnp.asarray(first["A"])
         sites = calibrate_model(lambda a: g.apply(variables, a), calib)
         print(f"int8 serving: {len(sites)} conv sites quantized")

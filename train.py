@@ -59,6 +59,7 @@ def main(argv=None):
     visualizer = Visualizer(cfg)
 
     total_steps = 0
+    profiling = False
     rng = jax.random.key(cfg.seed + 1)
     for epoch in range(cfg.epoch_count, cfg.niter + cfg.niter_decay + 1):
         epoch_start = time.time()
@@ -76,17 +77,18 @@ def main(argv=None):
                 jax.random.fold_in(jax.random.key(cfg.seed + 2), epoch))
         for batch in data_iter:
             t_data = time.time() - iter_start
-            paths = {k: v for k, v in batch.items() if isinstance(v, list)}
             arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
             rng, step_rng = jax.random.split(rng)
             if cfg.profile_dir and total_steps == cfg.profile_start * cfg.batch_size:
                 jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             state, losses = model.train_step(state, arrays, step_rng)
             total_steps += cfg.batch_size
             if cfg.profile_dir and total_steps == (
                     (cfg.profile_start + cfg.profile_steps) * cfg.batch_size):
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f"profiler trace written to {cfg.profile_dir}")
 
             if total_steps % cfg.print_freq < cfg.batch_size:
@@ -147,6 +149,11 @@ def main(argv=None):
               f"Time Taken: {time.time() - epoch_start:.0f} sec")
         visualizer.save_html(epoch)
         state = model.update_learning_rate(state, epoch)
+    if profiling:
+        # training ended inside the profile window — close the trace so the
+        # requested dump is actually written (review fix)
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {cfg.profile_dir} (early stop)")
     model.finish_checkpoints()  # drain async saves before returning
     return state
 
