@@ -143,9 +143,35 @@ class BaseModel:
     # ---- learning-rate policy (reference base_model.py:67-71) ----------
     lr_opt_names: Tuple[str, ...] = ()
 
-    def update_learning_rate(self, state: ModelState, epoch: int) -> ModelState:
+    # host-side ReduceLROnPlateau state (torch defaults: mode='min',
+    # factor=0.2, threshold=0.01 rel, patience=5 — reference networks.py:32).
+    # Like the reference, scheduler state is NOT checkpointed. NOTE the
+    # reference's stock loop calls scheduler.step() with no metric, which
+    # torch rejects for plateau — so the policy never actually stepped there;
+    # we accept a monitored metric (train.py passes the epoch eval mean) and
+    # hold the LR when none is supplied.
+    _plateau = None
+
+    def update_learning_rate(self, state: ModelState, epoch: int,
+                             metric: float = None) -> ModelState:
         cfg = self.cfg
         new_opts = dict(state.opt_states)
+        if cfg.lr_policy == "plateau":
+            if self._plateau is None:
+                self._plateau = {"best": float("inf"), "bad": 0, "scale": 1.0}
+            ps = self._plateau
+            if metric is not None:
+                if metric < ps["best"] * (1.0 - 0.01):
+                    ps["best"], ps["bad"] = float(metric), 0
+                else:
+                    ps["bad"] += 1
+                    if ps["bad"] > 5:
+                        ps["scale"] *= 0.2
+                        ps["bad"] = 0
+            for name in self.lr_opt_names:
+                new_opts[name] = set_opt_lr(state.opt_states[name],
+                                            cfg.lr * ps["scale"])
+            return state.replace(opt_states=new_opts)
         for name in self.lr_opt_names:
             # every scheduled optimizer is built and rebased from cfg.lr —
             # the reference steps all its schedulers from opt.lr (e.g.

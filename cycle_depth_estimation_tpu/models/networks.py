@@ -272,7 +272,8 @@ class PixelDiscriminator(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def define_G(output_nc: int, ngf: int, net_g: str, norm: str = "instance",
+# norm defaults to "batch" like the reference define_G (networks.py:63)
+def define_G(output_nc: int, ngf: int, net_g: str, norm: str = "batch",
              use_dropout: bool = False, init_type: str = "normal",
              init_gain: float = 0.02, dtype: Optional[Dtype] = None) -> nn.Module:
     common = dict(norm=norm, use_dropout=use_dropout, init_type=init_type,
@@ -291,7 +292,8 @@ def define_G(output_nc: int, ngf: int, net_g: str, norm: str = "instance",
     raise NotImplementedError(f"Generator model name [{net_g}] is not recognized")
 
 
-def define_D(ndf: int, net_d: str, n_layers_d: int = 3, norm: str = "instance",
+# norm defaults to "batch" like the reference define_D (networks.py:88)
+def define_D(ndf: int, net_d: str, n_layers_d: int = 3, norm: str = "batch",
              use_sigmoid: bool = False, init_type: str = "normal",
              init_gain: float = 0.02, dtype: Optional[Dtype] = None) -> nn.Module:
     common = dict(norm=norm, use_sigmoid=use_sigmoid, init_type=init_type,
@@ -358,4 +360,10 @@ def lr_schedule(policy: str, base_lr: float, *, epoch: int, niter: int = 5,
         import math
 
         return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max(1, niter)))
+    if policy == "plateau":
+        # stateful — handled by BaseModel.update_learning_rate (torch
+        # ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01,
+        # patience=5), reference models/networks.py:32-33); the schedule
+        # keeps base_lr until the monitored metric plateaus
+        return base_lr
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

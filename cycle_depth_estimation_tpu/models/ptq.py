@@ -39,7 +39,8 @@ from flax import linen as nn
 from jax import lax
 
 from ..ops import Conv, ConvTranspose, reflect_pad
-from ..ops.layers import DIMENSION_NUMBERS, _pair
+from ..ops.layers import DIMENSION_NUMBERS, _pad2, _pair
+from .quantization import quantize_conv_params
 
 
 PathKey = str
@@ -82,18 +83,12 @@ def calibrate_model(
             key = _key(m)
             if predicate(key, m):
                 params = m.variables["params"]
-                w = np.asarray(params["kernel"], np.float32)
-                s = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0,
-                               1e-12).astype(np.float32)
-                wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                # same per-out-channel symmetric scheme as the fused
+                # generator path (review dedupe: was re-implemented inline)
                 amax = float(np.max(np.abs(np.asarray(a[0], np.float32))))
-                entry = {
-                    "kernel_q": wq,
-                    "scale": s,
-                    "act_scale": np.float32(max(amax * margin / 127.0, 1e-12)),
-                }
-                if "bias" in params:
-                    entry["bias"] = np.asarray(params["bias"], np.float32)
+                entry = dict(
+                    quantize_conv_params(params),
+                    act_scale=np.float32(max(amax * margin / 127.0, 1e-12)))
                 if key in sites:  # shared module applied twice: widen scale
                     entry["act_scale"] = np.float32(
                         max(entry["act_scale"], sites[key]["act_scale"]))
@@ -120,13 +115,9 @@ def _int8_conv(m: Conv, x: jax.Array, q: Dict[str, jax.Array]) -> jax.Array:
     if m.padding_mode == "reflect":
         xq = reflect_pad(xq, m.padding)
         pad: Any = ((0, 0), (0, 0))
-    elif isinstance(m.padding, int):
-        pad = ((m.padding, m.padding), (m.padding, m.padding))
-    elif isinstance(m.padding, (tuple, list)) and isinstance(m.padding[0], int):
-        ph, pw = m.padding
-        pad = ((ph, ph), (pw, pw))
     else:
-        pad = tuple(tuple(p) for p in m.padding)
+        # single source of torch padding-form semantics (review dedupe)
+        pad = _pad2(m.padding)
     y = lax.conv_general_dilated(
         xq, q["kernel_q"], (sh, sw), pad, rhs_dilation=(dh, dw),
         dimension_numbers=DIMENSION_NUMBERS,

@@ -204,6 +204,12 @@ def calibrate(model: Int8ResnetGenerator, variables: Dict[str, Any],
     """
     _, inter = model.apply(variables, calib_x, mutable=["intermediates"])
     sites = inter["intermediates"]
+    if "site_conv_in" not in sites:
+        # already-calibrated variables take the static branch and sow
+        # nothing — fail intelligibly instead of a bare KeyError
+        raise ValueError(
+            "variables appear to be already calibrated (static act scales); "
+            "re-calibrate from int8_generator_variables(params) output")
     q = jax.tree.map(lambda x: x, dict(variables["qparams"]))
 
     def site_scale(name):
@@ -295,6 +301,10 @@ def fused_int8_apply(variables: Dict[str, Any], x: jax.Array, *,
     from ..ops.layers import _conv_transpose_s2_phases
     from ..ops.pallas.int8_epilogue import fused_in_epilogue
 
+    if up_mode not in ("bf16", "int8_dilated", "int8_phases"):
+        # a typo would silently serve the measured-slower int8 ups
+        raise ValueError(f"unknown up_mode [{up_mode}]; expected "
+                         "'bf16' | 'int8_dilated' | 'int8_phases'")
     q = variables["qparams"]
 
     def inv(site):

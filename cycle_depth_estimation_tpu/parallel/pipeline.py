@@ -53,7 +53,7 @@ def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(P(axis), P()),
-        out_specs=P(axis), check_vma=False)
+        out_specs=P(), check_vma=False)
     def run(params, xs):
         params = jax.tree.map(lambda l: l[0], params)  # [1,k,…] → [k,…]
         idx = jax.lax.axis_index(axis)
@@ -62,16 +62,25 @@ def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
             return jax.lax.scan(
                 lambda a, p: (block_apply(p, a), None), h, params)[0]
 
-        def tick(act, t):
+        def tick(carry, t):
+            act, ys = carry
             my_in = jnp.where(idx == 0, xs[jnp.minimum(t, M - 1)], act)
             out = stage_fn(my_in)
+            # only the LAST stage's post-fill ticks are results; write them
+            # into a fixed M-slot buffer instead of stacking all S·(M+S−1)
+            # tick outputs (review fix: 5.5× activation memory at S=4, M=8)
+            j = jnp.clip(t - (S - 1), 0, M - 1)
+            emit = (idx == S - 1) & (t >= S - 1)
+            ys = ys.at[j].set(jnp.where(emit, out, ys[j]))
             nxt = jax.lax.ppermute(
                 out, axis, [(i, (i + 1) % S) for i in range(S)])
-            return nxt, out
+            return (nxt, ys), None
 
-        _, outs = jax.lax.scan(tick, jnp.zeros_like(xs[0]), jnp.arange(T))
-        return outs[None]  # local [1,T,mb,…] → global [S,T,mb,…]
+        ys0 = jnp.zeros((M,) + xs.shape[1:], xs.dtype)
+        (_, ys), _ = jax.lax.scan(tick, (jnp.zeros_like(xs[0]), ys0),
+                                  jnp.arange(T))
+        # non-last stages hold zeros — one psum delivers the result to all
+        return jax.lax.psum(ys, axis)
 
-    outs = run(stage_params, xs)
-    y = outs[S - 1, S - 1:S - 1 + M]  # last stage, post-fill ticks
+    y = run(stage_params, xs)
     return y.reshape((B,) + y.shape[2:])

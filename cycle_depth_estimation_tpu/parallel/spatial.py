@@ -22,20 +22,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_2d_mesh(data: int, model: int,
                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    import numpy as np
+    from .mesh import make_mesh  # single mesh constructor (review dedupe)
 
-    devices = list(devices if devices is not None else jax.devices())
-    arr = np.array(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    return Mesh(make_mesh([data, model], devices=devices).devices,
+                ("data", "model"))
 
 
 def spatial_sharding(mesh: Mesh, batch_axis: str = "data",
                      spatial_axis: str = "model") -> NamedSharding:
     """NHWC sharding: batch over ``data``, H over ``model``."""
     axes = dict(mesh.shape)
+    if spatial_axis not in axes:
+        # silently skipping the requested H split would leave the oversized
+        # activation whole on every chip (review fix)
+        raise ValueError(
+            f"mesh {tuple(axes)} has no '{spatial_axis}' axis to shard H "
+            f"over — build it with make_2d_mesh(data, model)")
     b = batch_axis if batch_axis in axes else None
-    s = spatial_axis if spatial_axis in axes else None
-    return NamedSharding(mesh, P(b, s))
+    return NamedSharding(mesh, P(b, spatial_axis))
 
 
 def shard_spatial(mesh: Mesh, x, batch_axis: str = "data",

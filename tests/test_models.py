@@ -118,6 +118,31 @@ def test_cycle_gan_lr_schedule_updates(cycle_setup):
     assert np.isclose(lr, cfg.lr * (1 - 10 / 30), rtol=1e-6)
 
 
+def test_plateau_lr_policy():
+    """ReduceLROnPlateau semantics (torch defaults: factor=0.2, rel
+    threshold=0.01, patience=5 — reference models/networks.py:32-33)."""
+    cfg = small_cfg(lr_policy="plateau")
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0))
+
+    def lr(s):
+        return float(s.opt_states["G"].hyperparams["learning_rate"])
+
+    # improving metric: LR holds
+    state = model.update_learning_rate(state, epoch=1, metric=1.0)
+    state = model.update_learning_rate(state, epoch=2, metric=0.5)
+    assert np.isclose(lr(state), cfg.lr)
+    # 5 bad epochs tolerated; the 6th triggers the 0.2 factor
+    for e in range(3, 8):
+        state = model.update_learning_rate(state, epoch=e, metric=0.5)
+        assert np.isclose(lr(state), cfg.lr), e
+    state = model.update_learning_rate(state, epoch=8, metric=0.5)
+    assert np.isclose(lr(state), cfg.lr * 0.2)
+    # no metric supplied (reference's stock loop): LR holds, no crash
+    state = model.update_learning_rate(state, epoch=9)
+    assert np.isclose(lr(state), cfg.lr * 0.2)
+
+
 def test_cycle_gan_data_parallel_step():
     """Same train step, batch sharded over the 8-device mesh."""
     cfg = small_cfg(batch_size=8)

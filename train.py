@@ -61,6 +61,7 @@ def main(argv=None):
     total_steps = 0
     profiling = False
     rng = jax.random.key(cfg.seed + 1)
+    eval_metric = None  # monitored by the plateau LR policy
     for epoch in range(cfg.epoch_count, cfg.niter + cfg.niter_decay + 1):
         epoch_start = time.time()
         loader_train.set_epoch(epoch)
@@ -139,6 +140,7 @@ def main(argv=None):
                       + " ".join(f"{k}: {v:.3f}" for k, v in avg.items()))
                 visualizer.log_scalars(epoch, total_steps,
                                        {f"eval_{k}": v for k, v in avg.items()})
+                eval_metric = float(np.mean(list(avg.values())))
 
         if epoch % cfg.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}")
@@ -148,7 +150,7 @@ def main(argv=None):
         print(f"End of epoch {epoch} / {cfg.niter + cfg.niter_decay} \t "
               f"Time Taken: {time.time() - epoch_start:.0f} sec")
         visualizer.save_html(epoch)
-        state = model.update_learning_rate(state, epoch)
+        state = model.update_learning_rate(state, epoch, metric=eval_metric)
     if profiling:
         # training ended inside the profile window — close the trace so the
         # requested dump is actually written (review fix)
