@@ -128,13 +128,7 @@ class Conv(nn.Module):
                                   jnp.float32)
                 y = y + bias
             return y.astype(dtype)
-        if isinstance(self.padding, int):
-            pad = ((self.padding, self.padding), (self.padding, self.padding))
-        elif isinstance(self.padding, (tuple, list)) and isinstance(self.padding[0], int):
-            ph, pw = self.padding
-            pad = ((ph, ph), (pw, pw))
-        else:
-            pad = tuple(tuple(p) for p in self.padding)
+        pad = _pad2(self.padding)
 
         dtype = self.dtype or x.dtype
         y = lax.conv_general_dilated(

@@ -27,6 +27,7 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     """Create a device mesh. Default: all devices on one ``data`` axis; a
     2-element shape gets ``('data', 'model')`` so `--mesh_shape D M` works
     from the CLI (review fix: the documented model axis crashed)."""
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = [len(devices)] + [1] * (len(axis_names or ("data",)) - 1)
@@ -35,7 +36,20 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     if len(shape) != len(axis_names):
         raise ValueError(f"mesh shape {tuple(shape)} needs "
                          f"{len(shape)} axis names, got {tuple(axis_names)}")
-    arr = np.array(devices[: int(np.prod(shape))]).reshape(tuple(shape))
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {need} devices, "
+            f"have {len(devices)}")
+    if need < len(devices) and not explicit_devices:
+        # a smaller-than-host mesh leaves chips idle; make it visible
+        # (review fix: a benchmark silently ran on half the machine).
+        # Callers that intend a subset pass `devices=` explicitly.
+        import warnings
+
+        warnings.warn(f"mesh shape {tuple(shape)} uses {need} of "
+                      f"{len(devices)} available devices", stacklevel=2)
+    arr = np.array(devices[:need]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
 
