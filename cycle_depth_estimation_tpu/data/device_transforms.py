@@ -91,7 +91,9 @@ def depth_bands(depth: jax.Array, train: bool = True
     d4n = _renorm(d4, d4_min, d4.max(**kd))
     d5 = jnp.minimum(d, 2000.0)
     if train:
-        d5n = 2.0 * (d5 - d4_min) / jnp.maximum(
+        # offset = NORMALIZED band-4 min (= -1): the reference reassigns
+        # depth_source_4 before reading .min() at try_data.py:268
+        d5n = 2.0 * (d5 - d4n.min(**kd)) / jnp.maximum(
             d5.max(**kd) - d5.min(**kd), 1e-6) - 1.0
         full = _renorm(d0, d0.min(**kd), d0.max(**kd))
     else:

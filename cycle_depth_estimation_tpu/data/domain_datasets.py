@@ -68,7 +68,18 @@ def _img_paths(cfg, phase: str, attr: str) -> str:
 
 @register_dataset("synthia")
 class SynthiaDataset(_Base):
-    """SYNTHIA↔Cityscapes: {img,lab,depth}_source + {img,lab}_target."""
+    """SYNTHIA↔Cityscapes: {img,lab,depth}_source + {img,lab}_target.
+
+    DOCUMENTED DIVERGENCE — depth_source range: the reference pushes the
+    16-bit depth PNG through ToTensor+Normalize(0.5)
+    (dataset_synthia.py:87,189), which for PIL integer modes performs NO
+    /255 scaling, yielding values in the thousands (and it skips the
+    paired augmentation for depth, so depth stops matching img/lab after a
+    train-time rotation). We use the KITTI recipe clip(0,8000)/8000 → [0,1]
+    (preprocess.clip_depth_8000) instead: a sane, bounded label. No
+    registered model consumes depth_source from this loader (the reference
+    seg/seg_cycle tracks read only img+lab), so the substitution is latent;
+    revisit if a depth head is ever attached to the synthia pair."""
 
     ASPECT = 640 / 192  # reference works at 640×192 (dataset_synthia.py:156)
 
@@ -280,6 +291,14 @@ def _resize_labels(lab: np.ndarray, size) -> np.ndarray:
 
 
 def _resize_map(m: np.ndarray, size) -> np.ndarray:
+    """cv2-default-INTER_LINEAR resize of the {0,1} seg-edge maps
+    (reference try_data.py:219-220 `cv2.resize(lab_*_edge, (576, 192))`).
+
+    Review fix: PIL BILINEAR antialiases on downscale (support scales with
+    the shrink factor), spreading each 1-px edge over many fractional
+    pixels; cv2 INTER_LINEAR samples only the 2×2 neighbourhood, which is
+    what the reference's BCE edge targets actually see."""
+    from ..utils.metrics import _resize_linear
+
     w, h = size
-    return np.array(Image.fromarray(m.astype(np.float32)).resize((w, h),
-                                                                 Image.BILINEAR))
+    return _resize_linear(m.astype(np.float32), (w, h)).astype(np.float32)

@@ -152,8 +152,12 @@ def depth_bands(depth: np.ndarray, train: bool = True
 
     d5 = np.minimum(d0, 2000)
     if train:
-        # reference quirk: offset by band-4's min (try_data.py:268)
-        d5n = 2 * (d5 - d4_min) / _safe_span(d5.min(), d5.max()) - 1
+        # reference quirk (try_data.py:268): band 5 is offset by
+        # `depth_source_4.min()` — but by that line depth_source_4 has been
+        # REASSIGNED to its normalized form, so the offset is the NORMALIZED
+        # band-4 min, i.e. exactly -1 (review fix: an earlier reading used
+        # the raw clipped min, shifting every band-5 label by ~2·raw_min/span)
+        d5n = 2 * (d5 - d4n.min()) / _safe_span(d5.min(), d5.max()) - 1
         full = 2 * (d - d.min()) / _safe_span(d.min(), d.max()) - 1
     else:
         d5n = 2 * d5 / max(d5.max(), 1e-6) - 1

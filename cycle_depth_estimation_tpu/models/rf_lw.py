@@ -30,7 +30,7 @@ from ..ops import resize_nearest
 from .base_model import BaseModel, ModelState
 from .networks import l1_loss
 from .refinenet import ResNetLW, Segd, seg_gan_loss
-from .s2d_networks import bce_dep_loss, get_masks
+from .s2d_networks import bce_dep_loss_truncated, get_masks
 from .s2d import make_adam
 from .seg_network import seg_accuracy
 
@@ -53,6 +53,13 @@ class RefineNetSegDepth(BaseModel):
     SKY_CLASS = 17
     N_CLS = 28
     HEADS = ("seg8", "seg4", "seg2", "seg2_0")
+    # Which ResNetLW adapter path the SYN branch takes. The mdoel6/model7
+    # drivers call `self.net_G(self.syn_img)` with NO type argument
+    # (mdoel6.py:470, model7.py:397), so the reference trains the `_r`
+    # adapters on BOTH branches and the `_s` adapters never run (only
+    # model_ins.py:487 passes type='syn'). Set to "syn" for the
+    # model_ins-style per-domain split.
+    SYN_DOMAIN = "real"
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)
@@ -123,15 +130,17 @@ class RefineNetSegDepth(BaseModel):
             g_real = sum(seg_gan_loss(up2(h), real_seg_l, True, self.N_CLS)
                          for h in r_heads)
             (s_outs, s_pred, s_feats), s["G"] = self._apply(
-                self.net_G, gp, s["G"], syn_img, "syn", train=True)
+                self.net_G, gp, s["G"], syn_img, self.SYN_DOMAIN, train=True)
             s_heads, s = self._heads(params, s, s_feats, False)
             g_syn_seg = sum(seg_gan_loss(up2(h), syn_seg_l, True, self.N_CLS)
                             for h in s_heads)
             pred_full = up2(s_pred)
             dep_loss = 20.0 * l1_loss(sky * pred_full, sky * syn_dep_l)
             for band in s_outs:
-                dep_loss = dep_loss + bce_dep_loss(sky * up2(band),
-                                                   sky4 * syn_dep_ls, oms, zms)
+                # mdoel6's criterionDep_bce is the TRUNCATED semantic_trans
+                # BCEDepLoss (single o_m BCE term) — mdoel6.py:6-7,243,507
+                dep_loss = dep_loss + bce_dep_loss_truncated(
+                    sky * up2(band), sky4 * syn_dep_ls, oms, zms)
             total = g_real + g_syn_seg + dep_loss
             aux = dict(stats=s, dep_loss=dep_loss, g_real=g_real,
                        g_syn=g_syn_seg,
@@ -186,7 +195,7 @@ class RefineNetSegDepth(BaseModel):
         params, stats = state.params, state.batch_stats
         syn_img, real_img = batch["img_syn"], batch["img_real"]
         (s_outs, s_pred, s_feats), _ = self._apply(
-            self.net_G, params["G"], stats["G"], syn_img, "syn", train=False)
+            self.net_G, params["G"], stats["G"], syn_img, self.SYN_DOMAIN, train=False)
         (r_outs, r_pred, r_feats), _ = self._apply(
             self.net_G, params["G"], stats["G"], real_img, "real", train=False)
         s_heads, _ = self._heads(params, dict(stats), s_feats, False)
@@ -308,7 +317,7 @@ class RefineNetSegDepth7(RefineNetSegDepth):
             g_real = 5.0 * seg_gan_loss(up2b(r_head), real_seg_l, True,
                                         self.N_CLS)
             (s_outs, s_pred, s_feats), s["G"] = self._apply(
-                self.net_G, gp, s["G"], syn_img, "syn", train=True)
+                self.net_G, gp, s["G"], syn_img, self.SYN_DOMAIN, train=True)
             s_head, s["seg2_0"] = self._apply(
                 self.net_seg2_0, params["seg2_0"], s["seg2_0"], s_feats[3],
                 train=False)
@@ -317,8 +326,9 @@ class RefineNetSegDepth7(RefineNetSegDepth):
             pred_full = up2b(s_pred)
             dep = l1_loss(sky * pred_full, sky * syn_dep_l)
             for band in s_outs:
-                dep = dep + 0.005 * bce_dep_loss(sky * up2b(band),
-                                                 sky4 * syn_dep_ls, oms, zms)
+                # model7.py:424: 0.005 × the TRUNCATED BCEDepLoss variant
+                dep = dep + 0.005 * bce_dep_loss_truncated(
+                    sky * up2b(band), sky4 * syn_dep_ls, oms, zms)
             total = g_syn + 3.0 * dep + 2.0 * g_real
             aux = dict(stats=s, dep=dep, g_syn=g_syn, g_real=g_real,
                        r_f3=jax.lax.stop_gradient(r_feats[3]),
@@ -369,7 +379,7 @@ class RefineNetSegDepth7(RefineNetSegDepth):
         params, stats = state.params, state.batch_stats
         syn_img, real_img = batch["img_syn"], batch["img_real"]
         (s_outs, s_pred, s_feats), _ = self._apply(
-            self.net_G, params["G"], stats["G"], syn_img, "syn", train=False)
+            self.net_G, params["G"], stats["G"], syn_img, self.SYN_DOMAIN, train=False)
         (r_outs, r_pred, r_feats), _ = self._apply(
             self.net_G, params["G"], stats["G"], real_img, "real", train=False)
         s_head, _ = self._apply(self.net_seg2_0, params["seg2_0"],

@@ -52,6 +52,11 @@ class S2DModel(BaseModel):
 
     SKY_CLASS = 17  # model5.py:528-531
 
+    # per-band depth criterion: new_multi trains with the full 3-term
+    # BCEDepLoss (networks5_ds.py:947-956); the semantic_trans generation
+    # overrides this with the truncated single-BCE copy its model5 imports
+    band_criterion = staticmethod(bce_dep_loss)
+
     def __init__(self, cfg: Config):
         super().__init__(cfg)
         dt = cfg.compute_dtype()
@@ -225,8 +230,8 @@ class S2DModel(BaseModel):
                 rdp, stats["R_D"], syn_feats, syn_psp)
             dep_loss = l1_loss(dep_o, sky * syn_dep_l)
             for band in dep_4:
-                dep_loss = dep_loss + bce_dep_loss(sky * band,
-                                                   sky4 * syn_dep_ls, oms, zms)
+                dep_loss = dep_loss + self.band_criterion(
+                    sky * band, sky4 * syn_dep_ls, oms, zms)
             seg_loss = cross_entropy_loss(seg, syn_seg_l, 255)
             return dep_loss + seg_loss, (feats, dep_4, dep_o, dep_loss, s_rd)
 

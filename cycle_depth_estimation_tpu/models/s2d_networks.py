@@ -725,6 +725,21 @@ def bce_dep_loss(pred: jax.Array, target: jax.Array, o_m: jax.Array,
     return bce1 + bce0 + 50.0 * l1
 
 
+def bce_dep_loss_truncated(pred: jax.Array, target: jax.Array,
+                           o_m: jax.Array, z_m: jax.Array) -> jax.Array:
+    """The semantic_trans copy of BCEDepLoss (my_seg_depth/trymulti/
+    semantic_trans/networks5_ds.py:849-852): ONLY the o_m BCE term — the z_m
+    BCE and L1 terms are commented out in that snapshot. This is the variant
+    the new_model track actually trains with: mdoel6.py:6-7,243 and
+    model7.py:246 import networks5_ds from semantic_trans, not new_multi.
+    ``z_m`` is kept for signature parity with `bce_dep_loss`.
+    """
+    del z_m
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    return _bce((pred + 1) / 2 * o_m, (target + 1) / 2 * o_m)
+
+
 # ---------------------------------------------------------------------------
 # base-generation (my_seg_depth) variants — networks2.py
 # ---------------------------------------------------------------------------

@@ -20,6 +20,13 @@ new_multi end-state later dropped:
   (``self.net_D``, ``self.net_Dis_en`` — a latent bug; the method cannot
   run). Here the penalty lands on the DIS update, its only coherent home.
 
+Loss-criterion note: the band depth criterion here is the generation's own
+TRUNCATED BCEDepLoss (single o_m BCE — semantic_trans/networks5_ds.py:
+849-852), not new_multi's 3-term version; see ``band_criterion`` below.
+The reference's additional per-scale ``sed[:,1]`` term (model5.py:576) has
+no counterpart because this class reuses the new_multi R_D head, which
+emits full-resolution bands rather than per-scale stacks.
+
 Scale mapping note: the reference's 160/320-scale maps are band-1 slices of
 the semantic_trans R_dep's per-scale 4-band stacks (``s_Seds[0][:,1]``,
 bilinearly resized, model5.py:541-542, 588-589). Our RDep (the new_multi
@@ -40,7 +47,11 @@ from ..ops import resize_bilinear
 from .base_model import make_optimizer
 from .networks import gan_loss
 from .s2d import S2DModel
-from .s2d_networks import StarDiscriminator, calc_gradient_penalty
+from .s2d_networks import (
+    StarDiscriminator,
+    bce_dep_loss_truncated,
+    calc_gradient_penalty,
+)
 
 
 @register_model("semantic_trans")
@@ -50,6 +61,11 @@ class S2DSemanticTrans(S2DModel):
                                           "Dis_320")
 
     GP_LAMBDA = 10.0  # model5.py:380
+
+    # this generation's local networks5_ds copy truncates BCEDepLoss to the
+    # single o_m BCE term (semantic_trans/networks5_ds.py:849-852), and
+    # model5.py:288,581 trains with that copy
+    band_criterion = staticmethod(bce_dep_loss_truncated)
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)

@@ -169,7 +169,10 @@ def _oracle_bands_train(depth):
     d3 = 2 * (d3 - d3.min()) / (d3.max() - d3.min()) - 1
     d4[d > 4000] = 4000
     d4[d < 1000] = 1000
-    d4n = 2 * (d4 - d4.min()) / (d4.max() - d4.min()) - 1
+    # the reference REASSIGNS depth_source_4 to this normalized form before
+    # band 5 reads its .min() (try_data.py:263-268) — mirror that exactly
+    d4 = 2 * (d4 - d4.min()) / (d4.max() - d4.min()) - 1
+    d4n = d4
     d5[d > 2000] = 2000
     d5n = 2 * (d5 - d4.min()) / (d5.max() - d5.min()) - 1
     dn = 2 * (d - d.min()) / (d.max() - d.min()) - 1

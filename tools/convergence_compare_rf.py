@@ -123,13 +123,11 @@ def run_torch(batches, steps, lr, beta1, seed=7):
         return tF.cross_entropy(logits, tgt, ignore_index=255)
 
     def bce_dep(pred, target, o_m, z_m):
-        bce1 = tF.binary_cross_entropy((pred + 1) / 2 * o_m,
+        # mdoel6 trains with the TRUNCATED semantic_trans BCEDepLoss
+        # (single o_m term, semantic_trans/networks5_ds.py:849-852)
+        del z_m
+        return tF.binary_cross_entropy((pred + 1) / 2 * o_m,
                                        (target + 1) / 2 * o_m)
-        bce0 = tF.binary_cross_entropy((pred + 1) / 2 * z_m,
-                                       (target + 1) / 2 * z_m)
-        l1 = torch.mean(torch.abs(torch.broadcast_tensors(pred, target)[0]
-                                  - target))
-        return bce1 + bce0 + 50.0 * l1
 
     hist = {k: [] for k in ("G", "dep_syn", "adv_d")}
     for step in range(steps):
@@ -151,7 +149,7 @@ def run_torch(batches, steps, lr, beta1, seed=7):
         r_outs, r_pred, r_feats = G(t["img_real"], "real")
         g_real = sum(ce(up2(heads[k](r_feats[i])), t["seg_l_real"], True)
                      for i, k in enumerate(("seg8", "seg4", "seg2", "seg2_0")))
-        s_outs, s_pred, s_feats = G(t["img_syn"], "syn")
+        s_outs, s_pred, s_feats = G(t["img_syn"], "real")
         g_syn = sum(ce(up2(heads[k](s_feats[i])), t["seg_l_syn"], True)
                     for i, k in enumerate(("seg8", "seg4", "seg2", "seg2_0")))
         dep = 20.0 * tF.l1_loss(sky * up2(s_pred), sky * t["dep_l_syn"])
