@@ -202,24 +202,35 @@ class S2DModel(BaseModel):
             (feats, seg, (dep_4, dep_o)), s_rd = rd(
                 rdp, stats["R_D"], real_feats, real_psp)
             seg_loss = cross_entropy_loss(seg, real_seg_l, 255)
-            p1, _ = self._apply(self.net_FD1, params["FD1"], stats["FD1"],
-                                feats[0], train=False)
-            p2, _ = self._apply(self.net_FD2, params["FD2"], stats["FD2"],
-                                feats[1], train=False)
-            p3, _ = self._apply(self.net_FD3, params["FD3"], stats["FD3"],
-                                feats[2], train=False)
+            # the reference never switches the FDs to eval here
+            # (model5.py:493-495 inside backward_R_D, eval() only at test
+            # time): their BatchNorms normalize with BATCH statistics and
+            # update running stats in this phase too (review fix: was
+            # train=False, which normalized with stale running averages)
+            p1, sf1 = self._apply(self.net_FD1, params["FD1"], stats["FD1"],
+                                  feats[0], train=True)
+            p2, sf2 = self._apply(self.net_FD2, params["FD2"], stats["FD2"],
+                                  feats[1], train=True)
+            p3, sf3 = self._apply(self.net_FD3, params["FD3"], stats["FD3"],
+                                  feats[2], train=True)
             loss = seg_loss + 0.2 * (gan_loss(p1, False) + gan_loss(p2, False)
                                      + gan_loss(p3, False))
-            # subclass hook (semantic_trans: multi-res depth discriminators)
-            loss = loss + self._rd_real_adv_extra(params, stats, dep_4, dep_o)
-            return loss, (feats, dep_4, dep_o, s_rd)
+            # subclass hook (semantic_trans: multi-res depth discriminators);
+            # returns (extra loss, dict of updated discriminator stats)
+            extra, s_extra = self._rd_real_adv_extra(params, stats, dep_4,
+                                                     dep_o)
+            loss = loss + extra
+            s_upd = dict(s_extra, FD1=sf1, FD2=sf2, FD3=sf3)
+            return loss, (feats, dep_4, dep_o, s_rd, s_upd)
 
-        (loss_rd_real, (r_feats, real_dep_4, real_dep_o, s_rd)), rd_grads = (
+        (loss_rd_real,
+         (r_feats, real_dep_4, real_dep_o, s_rd, s_upd)), rd_grads = (
             jax.value_and_grad(rd_real_loss_fn, has_aux=True)(params["R_D"]))
         upd, opt_states["R_D"] = self.opts["R_D"].update(
             rd_grads, opt_states["R_D"], params["R_D"])
         params["R_D"] = optax.apply_updates(params["R_D"], upd)
         stats["R_D"] = s_rd
+        stats.update(s_upd)
         real_feats_d = [jax.lax.stop_gradient(f) for f in r_feats]
         real_dep_ref = jax.lax.stop_gradient(real_dep_o)
         metrics["R_D_real"] = loss_rd_real
@@ -281,7 +292,8 @@ class S2DModel(BaseModel):
 
     # ---- subclass hooks (no-ops in the new_multi end-state) -------------
     def _rd_real_adv_extra(self, params, stats, dep_4, dep_o):
-        return jnp.zeros((), jnp.float32)
+        """Returns (extra R_D-real loss, {net: updated batch_stats})."""
+        return jnp.zeros((), jnp.float32), {}
 
     def _post_phases(self, params, stats, opt_states, metrics, ctx, rng):
         return params, stats, opt_states, metrics

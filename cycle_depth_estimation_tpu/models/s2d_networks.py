@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ..ops import Conv, ConvTranspose, Norm, avg_pool, reflect_pad, resize_bilinear
 from ..ops.init import make_initializer
-from .seg_network import make_activation
+from .seg_network import make_activation, prelu
 
 Dtype = Any
 
@@ -103,7 +103,15 @@ class Transition(nn.Module):
 class DenseNetBackbone(nn.Module):
     """DenseNet-169-style feature extractor (networks5_ds.py:157-227):
     stem (no maxpool) + 4 dense blocks with transitions + extra avgpools;
-    returns the 3 deepest block outputs."""
+    returns the 3 deepest block outputs.
+
+    NOTE: the reference class is UNRUNNABLE as checked in — its forward
+    calls ``self.features.block0`` (networks5_ds.py:209) but ``block0`` is
+    never registered (the Sequential grouping at :81 is commented out), so
+    no reference run ever constructs it. Kept here as the repaired,
+    runnable form (stem = conv0+norm0+relu0 exactly as registered, so the
+    first scale is 1/2 — the reference's ``# 1/4`` comment assumed the
+    commented-out pool0); covered by a shape-contract test."""
 
     num_init_features: int = 64
     growth_rate: int = 32
@@ -451,9 +459,7 @@ class SDiscriminator(nn.Module):
         use_bias = self.norm == "instance"
 
         def mid_prelu(i, h):
-            alpha = self.param(f"prelu_mid{i}", nn.initializers.constant(0.25),
-                               (1,), jnp.float32).astype(h.dtype)
-            return jnp.where(h >= 0, h, alpha * h)
+            return prelu(self, f"prelu_mid{i}", h)
 
         h = Conv(self.ndf, 4, stride=2, padding=1, use_bias=use_bias,
                  kernel_init=normal02, dtype=self.dtype, name="conv0")(x)
@@ -483,17 +489,16 @@ class FeatureDiscriminatorS(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        def prelu(i, h):
-            alpha = self.param(f"prelu{i}", nn.initializers.constant(0.25), (1,),
-                               jnp.float32).astype(h.dtype)
-            return jnp.where(h >= 0, h, alpha * h)
+        def prelu_i(i, h):
+            return prelu(self, f"prelu{i}", h)
 
         n = x.shape[0]
         h = x.transpose(0, 3, 1, 2).reshape(n, -1)  # torch NCHW flatten order
-        h = prelu(0, nn.Dense(self.input_nc, kernel_init=normal02, name="fc0")(h))
+        h = prelu_i(0, nn.Dense(self.input_nc, kernel_init=normal02,
+                              name="fc0")(h))
         for i in range(1, self.n_layers):
-            h = prelu(i, nn.Dense(self.input_nc, kernel_init=normal02,
-                                  name=f"fc{i}")(h))
+            h = prelu_i(i, nn.Dense(self.input_nc, kernel_init=normal02,
+                                    name=f"fc{i}")(h))
         return nn.Dense(1, kernel_init=normal02, name="fc_out")(h)
 
 
@@ -721,7 +726,7 @@ def bce_dep_loss(pred: jax.Array, target: jax.Array, o_m: jax.Array,
     target = target.astype(jnp.float32)
     bce1 = _bce((pred + 1) / 2 * o_m, (target + 1) / 2 * o_m)
     bce0 = _bce((pred + 1) / 2 * z_m, (target + 1) / 2 * z_m)
-    l1 = jnp.mean(jnp.abs(jnp.broadcast_arrays(pred, target)[0] - target))
+    l1 = jnp.mean(jnp.abs(pred - target))
     return bce1 + bce0 + 50.0 * l1
 
 
@@ -767,8 +772,11 @@ class GeneralNet2(nn.Module):
                      use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                      name="conv0")(x)
             h = Norm("batch", name="norm0")(h, train=train)
-            features.append(h)
             h = nn.relu(h)
+            # the reference appends the norm0 tensor and the INPLACE relu0
+            # then mutates it (networks2.py:403,467-470), so the stored stem
+            # skip is post-ReLU (review fix: was appended pre-ReLU)
+            features.append(h)
         else:
             if self.is_initializing():
                 Conv(self.num_init_features, 7, stride=2, padding=3,
@@ -777,8 +785,8 @@ class GeneralNet2(nn.Module):
             # 'S' mode: G_1 features pass through norm0 first
             # (networks2.py:444-449 iterates features[1:])
             h = Norm("batch", name="norm0")(x, train=train)
-            features.append(h)
             h = nn.relu(h)
+            features.append(h)  # post-ReLU via the same inplace aliasing
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
             h = DenseBlock(num_layers, self.growth_rate, self.bn_size,

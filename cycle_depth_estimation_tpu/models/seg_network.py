@@ -42,6 +42,19 @@ from ..ops.layers import norm_uses_bias
 Dtype = Any
 
 
+def prelu_apply(alpha: jax.Array, x: jax.Array) -> jax.Array:
+    """torch ``nn.PReLU()`` math — single source (review dedupe)."""
+    return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def prelu(module: nn.Module, name: str, x: jax.Array) -> jax.Array:
+    """Declare-and-apply a PReLU α (init 0.25, shape (1,)) as ``name`` on
+    ``module``. Use once per name — for an α shared across several
+    applications, declare it once and call `prelu_apply`."""
+    return prelu_apply(module.param(name, nn.initializers.constant(0.25),
+                                    (1,), jnp.float32), x)
+
+
 def make_activation(kind: str, module: nn.Module) -> Callable[[jax.Array], jax.Array]:
     """Activation factory (reference get_nonlinearity_layer,
     seg_network.py:25-36). 'PReLU' creates one shared α on ``module``."""
@@ -52,14 +65,9 @@ def make_activation(kind: str, module: nn.Module) -> Callable[[jax.Array], jax.A
     if kind == "LeakyReLU":
         return lambda x: nn.leaky_relu(x, 0.1)
     if kind == "PReLU":
-        alpha = module.param("prelu_alpha", nn.initializers.constant(0.25), (1,),
-                             jnp.float32)
-
-        def prelu(x):
-            a = alpha.astype(x.dtype)
-            return jnp.where(x >= 0, x, a * x)
-
-        return prelu
+        alpha = module.param("prelu_alpha", nn.initializers.constant(0.25),
+                             (1,), jnp.float32)
+        return lambda x: prelu_apply(alpha, x)
     raise NotImplementedError(f"activation layer [{kind}] is not found")
 
 

@@ -118,14 +118,19 @@ class S2DSemanticTrans(S2DModel):
 
     def _rd_real_adv_extra(self, params, stats, dep_4, dep_o):
         """R_D real-branch alignment vs the multi-res depth discriminators
-        (model5.py:541-548): push D_160/D_320 outputs toward *fake*."""
-        d160, _ = self._apply(self.net_Dis_160, params["Dis_160"],
-                              stats["Dis_160"], self._scaled_band(dep_4, 4),
-                              train=False)
-        d320, _ = self._apply(self.net_Dis_320, params["Dis_320"],
-                              stats["Dis_320"], self._scaled_band(dep_4, 2),
-                              train=False)
-        return 0.2 * gan_loss(d160, False) + gan_loss(d320, False)
+        (model5.py:541-548): push D_160/D_320 outputs toward *fake*.
+
+        Like the FDs, the reference never switches these to eval during
+        training, so their BatchNorms use batch statistics here and the
+        updated running stats thread into their own update phase."""
+        d160, s160 = self._apply(self.net_Dis_160, params["Dis_160"],
+                                 stats["Dis_160"],
+                                 self._scaled_band(dep_4, 4), train=True)
+        d320, s320 = self._apply(self.net_Dis_320, params["Dis_320"],
+                                 stats["Dis_320"],
+                                 self._scaled_band(dep_4, 2), train=True)
+        return (0.2 * gan_loss(d160, False) + gan_loss(d320, False),
+                {"Dis_160": s160, "Dis_320": s320})
 
     def _post_phases(self, params, stats, opt_states, metrics, ctx, rng):
         """backward_DISDEP (model5.py:480-519) + GP as one compiled phase."""

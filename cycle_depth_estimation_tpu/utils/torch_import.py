@@ -596,26 +596,34 @@ def warm_start(target_vars: Dict[str, Any], donor_vars: Dict[str, Any]
     """Copy donor leaves into target wherever path+shape match (the
     reference's name-matching weight transfer, my_rf_lw.py:555-570).
     Returns ``(merged_variables, n_transferred)`` (review fix: the count was
-    smuggled into the pytree as a bogus '_n_transferred' leaf)."""
-    import copy
+    smuggled into the pytree as a bogus '_n_transferred' leaf).
 
-    out = copy.deepcopy(dict(target_vars))
+    Rebuilds only the dict nodes and reuses unmatched leaf arrays as-is
+    (leaves are never mutated in place), so warm-starting a 77M-param tree
+    does not deep-copy ~300 MB of arrays."""
 
     def merge(dst, src):
         n = 0
-        for k, v in src.items():
-            if k not in dst:
-                continue
-            if isinstance(v, dict) and isinstance(dst[k], dict):
-                n += merge(dst[k], v)
-            elif not isinstance(v, dict) and getattr(dst[k], "shape", None) == \
-                    getattr(v, "shape", ()):
-                dst[k] = v
+        out = {}
+        for k, v in dst.items():
+            s = src.get(k) if isinstance(src, dict) else None
+            if isinstance(v, dict):
+                out[k], m = merge(v, s if isinstance(s, dict) else {})
+                n += m
+            elif s is not None and not isinstance(s, dict) and \
+                    getattr(v, "shape", None) == getattr(s, "shape", ()):
+                out[k] = s
                 n += 1
-        return n
+            else:
+                out[k] = v
+        return out, n
 
     n = 0
-    for coll in out:
+    out = {}
+    for coll, tree in dict(target_vars).items():
         if coll in donor_vars:
-            n += merge(out[coll], donor_vars[coll])
+            out[coll], m = merge(tree, donor_vars[coll])
+            n += m
+        else:
+            out[coll] = tree
     return out, n

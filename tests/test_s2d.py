@@ -174,6 +174,27 @@ def test_s2d_discriminators():
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
 
 
+def test_densenet_backbone_contract():
+    """Repaired form of the reference's unrunnable DenseNet
+    (networks5_ds.py:157-227, forward references a never-registered
+    features.block0): 3 deepest outputs at 1/8, 1/16, 1/32 of input."""
+    from cycle_depth_estimation_tpu.models.s2d_networks import DenseNetBackbone
+
+    net = DenseNetBackbone(block_config=(2, 2, 2, 2))
+    x = jnp.zeros((1, 256, 384, 3))
+    v = net.init(jax.random.key(0), x)
+    outs = net.apply(v, x)
+    assert len(outs) == 3
+    # stem 1/2; each transition pools ×2 and the loop adds an extra ×2 pool:
+    # transition2 out = 1/16, transition3 out = 1/64, denseblock4 = 1/128
+    assert outs[0].shape[1:3] == (16, 24)
+    assert outs[1].shape[1:3] == (4, 6)
+    assert outs[2].shape[1:3] == (2, 3)
+    # channel contract: transitions halve (128→64), final block adds n·growth
+    assert outs[0].shape[-1] == 64 and outs[1].shape[-1] == 64
+    assert outs[2].shape[-1] == outs[1].shape[-1] + 2 * 32
+
+
 def test_legacy_seg_dep_decoders():
     x = jnp.zeros((1, 4, 8, 1024))
     seg = SEG(n_cls=28)
@@ -472,8 +493,10 @@ def test_torchvision_densenet_import_parity():
     f = tv.features
     with torch.no_grad():
         h = f.norm0(f.conv0(torch.from_numpy(x)))
-        feats_ref = [h]
         h = torch.relu(h)
+        # the reference's inplace relu0 mutates the appended norm0 tensor
+        # (networks2.py:403,467-470) → stored stem skip is post-ReLU
+        feats_ref = [h]
         for i in range(1, 5):
             h = getattr(f, f"denseblock{i}")(h)
             feats_ref.append(h)

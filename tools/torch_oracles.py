@@ -96,7 +96,10 @@ def build_torch_general_net2(block_config=(6, 12, 32, 32), mid_nc=1024):
     feats = tnn.Sequential(OrderedDict([
         ("conv0", tnn.Conv2d(3, 64, 7, 2, 3, bias=False)),
         ("norm0", tnn.BatchNorm2d(64)),
-        ("relu0", tnn.ReLU(inplace=False))]))
+        # inplace like the reference (networks2.py:403): the forward below
+        # appends the norm0 tensor and relu0 then mutates it, so the stored
+        # stem skip is post-ReLU — inplace-ness is load-bearing here
+        ("relu0", tnn.ReLU(inplace=True))]))
     nf = 64
     for i, n_layers in enumerate(block_config):
         db, nf = _dense_block(nf, n_layers)
