@@ -560,6 +560,99 @@ def import_discriminator2_seg(sd: Mapping[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+def import_sdiscriminator(sd: Mapping[str, np.ndarray], n_layers: int = 3
+                          ) -> Dict[str, Any]:
+    """Import a reference ``_Discriminator`` (the S2D feature PatchGAN,
+    new_multi/networks5_ds.py:527-566; saved as ``<iter>_net_FD{1,2,3}.pth``
+    by model5.py save_networks) into `models.s2d_networks.SDiscriminator`
+    variables.
+
+    torch layout (flat Sequential ``model``): conv@0, shared PReLU@1 (the
+    SAME module instance is re-appended before the last conv, so the state
+    dict holds its α under both ``model.1.weight`` and the alias), then per
+    middle layer i: conv@{3i-1}, BN@{3i}, own PReLU@{3i+1}; tail conv@{3n-1},
+    BN@{3n}, shared PReLU alias, conv_out@{3n+2}.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["conv0"] = _conv_entry(sd, "model.0")
+    params["prelu_alpha"] = _np(sd["model.1.weight"])
+    for i in range(1, n_layers):
+        base = 2 + 3 * (i - 1)
+        params[f"conv{i}"] = _conv_entry(sd, f"model.{base}")
+        params[f"norm{i}"], stats[f"norm{i}"] = _bn(sd, f"model.{base + 1}")
+        params[f"prelu_mid{i}"] = _np(sd[f"model.{base + 2}.weight"])
+    base = 2 + 3 * (n_layers - 1)
+    params[f"conv{n_layers}"] = _conv_entry(sd, f"model.{base}")
+    params[f"norm{n_layers}"], stats[f"norm{n_layers}"] = _bn(
+        sd, f"model.{base + 1}")
+    params["conv_out"] = _conv_entry(sd, f"model.{base + 3}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _gside(sd: Mapping[str, np.ndarray], prefix: str):
+    """Map a reference G_side (networks5_ds.py:623-651) onto our GSide."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["at_conv"] = _conv_entry(sd, f"{prefix}.attention_bs.0")
+    p["at_norm"], s["at_norm"] = _bn(sd, f"{prefix}.attention_bs.1")
+    p["side_conv0"] = _conv_entry(sd, f"{prefix}.side_conv.0")
+    p["side_norm0"], s["side_norm0"] = _bn(sd, f"{prefix}.side_conv.2")
+    p["side_conv1"] = _conv_entry(sd, f"{prefix}.side_conv.3")
+    p["side_norm1"], s["side_norm1"] = _bn(sd, f"{prefix}.side_conv.5")
+    p["out_conv0"] = _conv_entry(sd, f"{prefix}.conv.0")
+    p["out_norm0"], s["out_norm0"] = _bn(sd, f"{prefix}.conv.2")
+    p["out_conv1"] = _conv_entry(sd, f"{prefix}.conv.3")
+    p["out_norm1"], s["out_norm1"] = _bn(sd, f"{prefix}.conv.5")
+    return p, s
+
+
+def import_rdep(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a reference ``R_dep`` refiner checkpoint
+    (new_multi/networks5_ds.py:733-821, saved as ``<iter>_net_R_D.pth``)
+    into `models.s2d_networks.RDep` variables.
+
+    The reference's ``up0``/``dep_out``/``norm`` submodules are constructed
+    but never used by its forward (networks5_ds.py:777-821), so their
+    state-dict entries are intentionally dropped here — our RDep does not
+    declare them.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for k in range(3):
+        params[f"gs{k}"], stats[f"gs{k}"] = _gside(sd, f"AT.{k}")
+    # seg_block (networks5_ds.py:708-728)
+    sp: Dict[str, Any] = {"conv0": _conv_entry(sd, "seg_d.deconv.0"),
+                          "conv1": _conv_entry(sd, "seg_d.deconv.3")}
+    ss: Dict[str, Any] = {}
+    sp["norm0"], ss["norm0"] = _bn(sd, "seg_d.deconv.2")
+    sp["norm1"], ss["norm1"] = _bn(sd, "seg_d.bn")
+    params["seg_d"], stats["seg_d"] = sp, ss
+    # depth_block (networks5_ds.py:655-706)
+    dp: Dict[str, Any] = {}
+    ds: Dict[str, Any] = {}
+    for i in range(4):
+        dp[f"up{i}_deconv"] = _conv_entry(sd, f"dep.upconv.{i}.0",
+                                          transposed=True)
+        dp[f"up{i}_norm0"], ds[f"up{i}_norm0"] = _bn(sd, f"dep.upconv.{i}.2")
+        dp[f"up{i}_conv"] = _conv_entry(sd, f"dep.upconv.{i}.3")
+        dp[f"up{i}_norm1"], ds[f"up{i}_norm1"] = _bn(sd, f"dep.upconv.{i}.5")
+        dp[f"depth_out{i}"] = _conv_entry(sd, f"dep.depth_out.{i}.0")
+        dp[f"at{i}_conv0"] = _conv_entry(sd, f"dep.attention_bs.{i}.0")
+        dp[f"at{i}_norm"], ds[f"at{i}_norm"] = _bn(sd, f"dep.attention_bs.{i}.2")
+        dp[f"at{i}_conv1"] = _conv_entry(sd, f"dep.attention_bs.{i}.3")
+    dp["fuse_conv0"] = _conv_entry(sd, "dep.conv.0")
+    dp["fuse_norm0"], ds["fuse_norm0"] = _bn(sd, "dep.conv.2")
+    dp["fuse_conv1"] = _conv_entry(sd, "dep.conv.3")
+    dp["fuse_norm1"], ds["fuse_norm1"] = _bn(sd, "dep.conv.5")
+    dp["dep_conv"] = _conv_entry(sd, "dep.depconv.0")
+    dp["dep_norm"], ds["dep_norm"] = _bn(sd, "dep.depconv.1")
+    params["dep"], stats["dep"] = dp, ds
+    return {"params": params, "batch_stats": stats}
+
+
 def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
                                 block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
     """Import a torchvision DenseNet state dict (densenet121/169) into our

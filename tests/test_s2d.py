@@ -177,7 +177,7 @@ def test_s2d_discriminators():
 def test_densenet_backbone_contract():
     """Repaired form of the reference's unrunnable DenseNet
     (networks5_ds.py:157-227, forward references a never-registered
-    features.block0): 3 deepest outputs at 1/8, 1/16, 1/32 of input."""
+    features.block0): 3 deepest outputs at 1/16, 1/64, 1/128 of input."""
     from cycle_depth_estimation_tpu.models.s2d_networks import DenseNetBackbone
 
     net = DenseNetBackbone(block_config=(2, 2, 2, 2))
@@ -557,3 +557,101 @@ def test_dis0_en_parity_vs_reference_checkpoint():
                   train=False)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# R_dep / FD importer parity — oracle = the reference's OWN torch modules
+# (imported read-only from /root/reference at test time, never copied)
+# ---------------------------------------------------------------------------
+
+REF_NM = "/root/reference/new_multi"
+
+
+def _randomize_state(net, seed):
+    """Fill every param/buffer with non-trivial values so BN affine params
+    and running stats are exercised (fresh torch BN is near-identity)."""
+    g = np.random.RandomState(seed)
+    with torch.no_grad():
+        for k, v in net.state_dict().items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            if k.endswith("running_var"):
+                v.copy_(torch.from_numpy(
+                    g.rand(*v.shape).astype(np.float32) * 0.5 + 0.5))
+            else:
+                v.copy_(torch.from_numpy(
+                    g.randn(*v.shape).astype(np.float32) * 0.2))
+
+
+def _ref_module():
+    import sys
+    if REF_NM not in sys.path:
+        sys.path.insert(0, REF_NM)
+    import networks5_ds
+    return networks5_ds
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_NM), reason="reference absent")
+def test_sdiscriminator_import_parity_vs_reference_module():
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_sdiscriminator,
+    )
+
+    ref = _ref_module()
+    tnet = ref._Discriminator(input_nc=64)
+    _randomize_state(tnet, 3)
+    tnet.eval()
+    x = RNG.randn(1, 48, 64, 64).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    variables = import_sdiscriminator(
+        {k: v.numpy() for k, v in tnet.state_dict().items()})
+    d = SDiscriminator()
+    got = d.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x),
+                  train=False)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.transpose(0, 2, 3, 1), atol=2e-4,
+                               rtol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_NM), reason="reference absent")
+def test_rdep_import_parity_vs_reference_module():
+    from cycle_depth_estimation_tpu.models.s2d_networks import RDep
+    from cycle_depth_estimation_tpu.utils.torch_import import import_rdep
+
+    ref = _ref_module()
+    tnet = ref.R_dep()
+    _randomize_state(tnet, 4)
+    tnet.eval()
+    g = np.random.RandomState(5)
+    h, w = 6, 9
+    d_feature = g.randn(1, 1024, h, w).astype(np.float32) * 0.3
+    s_feats = [None,
+               g.randn(1, 512, 4 * h, 4 * w).astype(np.float32) * 0.3,
+               g.randn(1, 1280, 2 * h, 2 * w).astype(np.float32) * 0.3,
+               g.randn(1, 1664, h, w).astype(np.float32) * 0.3]
+    with torch.no_grad():
+        (o0, o1, o2), sd_t, (dep4_t, dep1_t) = tnet(
+            [None] + [torch.from_numpy(f) for f in s_feats[1:]],
+            torch.from_numpy(d_feature))
+    variables = import_rdep(
+        {k: v.numpy() for k, v in tnet.state_dict().items()})
+    net = RDep()
+    feats, seg, (dep_4, dep_o) = net.apply(
+        jax.tree.map(jnp.asarray, variables),
+        [None] + [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in s_feats[1:]],
+        jnp.asarray(d_feature.transpose(0, 2, 3, 1)), train=False)
+    for mine, want in zip(feats, (o0, o1, o2)):
+        np.testing.assert_allclose(np.asarray(mine),
+                                   want.numpy().transpose(0, 2, 3, 1),
+                                   atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(seg),
+                               sd_t.numpy().transpose(0, 2, 3, 1),
+                               atol=3e-4, rtol=1e-3)
+    for mine, want in zip(dep_4, dep4_t):
+        np.testing.assert_allclose(np.asarray(mine),
+                                   want.numpy().transpose(0, 2, 3, 1),
+                                   atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dep_o),
+                               dep1_t.numpy().transpose(0, 2, 3, 1),
+                               atol=3e-4, rtol=1e-3)
