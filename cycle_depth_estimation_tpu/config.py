@@ -121,6 +121,10 @@ class Config:
     dense_block_config: Optional[List[int]] = None  # default (6, 12, 32, 32)
     g1_blocks: int = 3
     resnet_layers: Optional[List[int]] = None       # rf_lw: default (3, 4, 23, 3)
+    # rf_lw syn-branch adapter path: None keeps the driver default ('real',
+    # mdoel6.py:470 / model7.py:397 pass no type); 'syn' selects the
+    # model_ins-style per-domain split (reference model_ins.py:487)
+    syn_domain: Optional[str] = None
 
     # ---- validation harness (reference new_multi/train5.py:85-115) ----
     eval_freq: int = 1000

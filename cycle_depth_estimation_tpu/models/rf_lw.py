@@ -63,6 +63,8 @@ class RefineNetSegDepth(BaseModel):
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)
+        if cfg.syn_domain is not None:  # model_ins-style per-domain split
+            self.SYN_DOMAIN = cfg.syn_domain
         dt = cfg.compute_dtype()
         layers = tuple(cfg.resnet_layers or (3, 4, 23, 3))
         self.net_G = ResNetLW(layers=layers, dtype=dt)
@@ -254,6 +256,8 @@ class RefineNetSegDepth7(RefineNetSegDepth):
 
     def __init__(self, cfg: Config):
         BaseModel.__init__(self, cfg)
+        if cfg.syn_domain is not None:  # model_ins-style per-domain split
+            self.SYN_DOMAIN = cfg.syn_domain
         from .refinenet import DepthBlockR6
 
         dt = cfg.compute_dtype()

@@ -127,6 +127,41 @@ def test_rf_lw_train_step():
     assert visuals["syn_seg_pre"].shape == (1, h, w)
 
 
+def test_rf_lw_syn_domain_routing():
+    """Driver default: BOTH branches run the 'real' adapters and the '_s'
+    adapters stay untouched (mdoel6.py:470 / model7.py:397 pass no type);
+    --syn_domain syn restores the model_ins-style split (model_ins.py:487)
+    and trains the '_s' adapters too."""
+
+    def s_adapters_changed(cfg):
+        model = create_model(cfg)
+        h, w = 64, 96
+        state = model.init_state_at(jax.random.key(0), h, w)
+        batch = {
+            "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+            "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+            "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+            "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+            "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+            "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
+        }
+        state1, _ = model.train_step(state, batch, jax.random.key(1))
+        changed = []
+        for name, p0 in state.params["G"].items():
+            if name.startswith("ins_layer") and name.endswith("_s"):
+                p1 = state1.params["G"][name]
+                changed.append(any(
+                    not np.allclose(a, b) for a, b in
+                    zip(jax.tree.leaves(p0), jax.tree.leaves(p1))))
+        assert changed  # the adapters exist
+        return any(changed)
+
+    base = dict(model="rf_lw", batch_size=1, resnet_layers=[1, 1, 1, 1])
+    assert not s_adapters_changed(apply_model_defaults(Config(**base)))
+    assert s_adapters_changed(apply_model_defaults(
+        Config(syn_domain="syn", **base)))
+
+
 def test_rf_lw7_train_step():
     """model7 variant: single seg2_0 head, supervised SEG step, bilinear up,
     net_depth constructed-but-unstepped (reference model7.py quirks)."""
