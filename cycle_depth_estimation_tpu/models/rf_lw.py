@@ -61,10 +61,22 @@ class RefineNetSegDepth(BaseModel):
     # model_ins-style per-domain split.
     SYN_DOMAIN = "real"
 
+    def _apply_syn_domain(self, cfg: Config) -> None:
+        """Validated --syn_domain override (shared by both __init__s; the
+        choice is recorded in the run's opt.txt dump for provenance — it
+        must be re-passed identically at eval/resume time, both adapter
+        sets always exist so a mismatch cannot fail on shapes)."""
+        if cfg.syn_domain is None:
+            return
+        if cfg.syn_domain not in ("real", "syn"):
+            raise ValueError(
+                f"syn_domain [{cfg.syn_domain}] must be 'real' or 'syn' — "
+                "any other string would silently select the '_s' path")
+        self.SYN_DOMAIN = cfg.syn_domain
+
     def __init__(self, cfg: Config):
         super().__init__(cfg)
-        if cfg.syn_domain is not None:  # model_ins-style per-domain split
-            self.SYN_DOMAIN = cfg.syn_domain
+        self._apply_syn_domain(cfg)  # model_ins-style per-domain split
         dt = cfg.compute_dtype()
         layers = tuple(cfg.resnet_layers or (3, 4, 23, 3))
         self.net_G = ResNetLW(layers=layers, dtype=dt)
@@ -256,8 +268,7 @@ class RefineNetSegDepth7(RefineNetSegDepth):
 
     def __init__(self, cfg: Config):
         BaseModel.__init__(self, cfg)
-        if cfg.syn_domain is not None:  # model_ins-style per-domain split
-            self.SYN_DOMAIN = cfg.syn_domain
+        self._apply_syn_domain(cfg)  # model_ins-style per-domain split
         from .refinenet import DepthBlockR6
 
         dt = cfg.compute_dtype()

@@ -100,13 +100,8 @@ def test_dcgan_d():
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
 
 
-def test_rf_lw_train_step():
-    cfg = apply_model_defaults(Config(model="rf_lw", batch_size=1,
-                                      resnet_layers=[1, 1, 1, 1]))
-    model = create_model(cfg)
-    h, w = 64, 96
-    state = model.init_state_at(jax.random.key(0), h, w)
-    batch = {
+def make_batch(h, w):
+    return {
         "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
         "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
         "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
@@ -114,6 +109,15 @@ def test_rf_lw_train_step():
         "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
         "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
     }
+
+
+def test_rf_lw_train_step():
+    cfg = apply_model_defaults(Config(model="rf_lw", batch_size=1,
+                                      resnet_layers=[1, 1, 1, 1]))
+    model = create_model(cfg)
+    h, w = 64, 96
+    state = model.init_state_at(jax.random.key(0), h, w)
+    batch = make_batch(h, w)
     state1, metrics = model.train_step(state, batch, jax.random.key(1))
     assert set(metrics) == set(model.loss_names)
     for k, v in metrics.items():
@@ -137,15 +141,8 @@ def test_rf_lw_syn_domain_routing():
         model = create_model(cfg)
         h, w = 64, 96
         state = model.init_state_at(jax.random.key(0), h, w)
-        batch = {
-            "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
-            "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
-            "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
-            "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
-            "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
-            "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
-        }
-        state1, _ = model.train_step(state, batch, jax.random.key(1))
+        state1, _ = model.train_step(state, make_batch(h, w),
+                                     jax.random.key(1))
         changed = []
         for name, p0 in state.params["G"].items():
             if name.startswith("ins_layer") and name.endswith("_s"):
@@ -156,10 +153,16 @@ def test_rf_lw_syn_domain_routing():
         assert changed  # the adapters exist
         return any(changed)
 
-    base = dict(model="rf_lw", batch_size=1, resnet_layers=[1, 1, 1, 1])
-    assert not s_adapters_changed(apply_model_defaults(Config(**base)))
-    assert s_adapters_changed(apply_model_defaults(
-        Config(syn_domain="syn", **base)))
+    # rf_lw7 plumbs the guard through its own __init__ (it bypasses the
+    # parent's) — cover both models so a refactor can't drop one silently
+    for m in ("rf_lw", "rf_lw7"):
+        base = dict(model=m, batch_size=1, resnet_layers=[1, 1, 1, 1])
+        assert not s_adapters_changed(apply_model_defaults(Config(**base)))
+        assert s_adapters_changed(apply_model_defaults(
+            Config(syn_domain="syn", **base)))
+    with pytest.raises(ValueError):
+        create_model(apply_model_defaults(
+            Config(syn_domain="rael", **base)))
 
 
 def test_rf_lw7_train_step():
@@ -170,14 +173,7 @@ def test_rf_lw7_train_step():
     model = create_model(cfg)
     h, w = 64, 96
     state = model.init_state_at(jax.random.key(0), h, w)
-    batch = {
-        "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
-        "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
-        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
-        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
-        "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
-        "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
-    }
+    batch = make_batch(h, w)
     state1, metrics = model.train_step(state, batch, jax.random.key(1))
     assert set(metrics) == set(model.loss_names)
     for k, v in metrics.items():
