@@ -2,8 +2,8 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5000 (BASELINE.md north-star: ≥5k 256² images/sec/chip
-on TPU v5e — for this net that would be ~565 TFLOP/s, above v5e bf16 peak;
-FLOP math: ~113 GFLOP/image).
+on TPU v5e — for this net that would be ~500+ TFLOP/s, above v5e bf16 peak;
+HLO-counted cost: 99.4 GFLOP/image, tools/mfu_report.py).
 
 Measured serving configuration: **fused calibrated int8**
 (models/quantization.py fused_int8_apply: per-channel int8 weights, static

@@ -1,0 +1,158 @@
+"""FLOP / MFU report for the measured benchmark configurations.
+
+Counts the exact XLA HLO flops of the jitted programs `bench.py` measures
+(via ``jax.jit(fn).lower(...).cost_analysis()`` — no compile/execute needed,
+so this runs on the CPU backend) and combines them with the measured v5e
+rates (README / CLAUDE.md) into achieved-TFLOP/s and MFU numbers:
+
+    python -m tools.mfu_report [--skip s2d] [--rate generator_bf16=1129 ...]
+
+Peak references (v5e, per chip): bf16 197 TFLOP/s, int8 394 TOP/s nameplate
+(measured XLA int8 ceiling on this chip is ~184 TOP/s — README).
+The flop counts are dtype-blind HLO flops; for the int8 serving path the
+same conv flops execute as int8 MACs.
+
+Writes mfu_report.json next to this file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK = 197e12
+V5E_INT8_MEASURED = 184e12  # best measured int8 rate on this chip (README)
+
+# measured throughputs (img/s/chip) from README / CLAUDE.md
+MEASURED = {
+    "generator_bf16": 1129.0,
+    "generator_int8_fused": 1407.0,
+    "cycle_gan_train_bf16": 41.5,
+    "s2d_train_bf16": 7.16,
+}
+
+
+def _flops(lowered) -> float:
+    ca = lowered.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def flops_generator():
+    import jax
+    import jax.numpy as jnp
+
+    from cycle_depth_estimation_tpu.models.networks import ResnetGenerator
+
+    g = ResnetGenerator(output_nc=3, ngf=64, n_blocks=9, dtype=jnp.bfloat16)
+    batch = 128
+    x = jnp.zeros((batch, 256, 256, 3), jnp.bfloat16)
+    vs = jax.eval_shape(lambda k: g.init(k, x[:1]), jax.random.key(0))
+    vs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), vs)
+    lowered = jax.jit(lambda v, a: g.apply(v, a)).lower(vs, x)
+    return _flops(lowered) / batch
+
+
+def flops_cycle_gan():
+    import jax
+
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+
+    batch = 16
+    cfg = apply_model_defaults(Config(model="cycle_gan", batch_size=batch,
+                                      no_dropout=True, dtype="bfloat16"))
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0))
+    b = {"img_source": np.zeros((batch, 256, 256, 3), np.float32),
+         "img_target": np.zeros((batch, 256, 256, 3), np.float32)}
+    lowered = jax.jit(model._step_train).lower(state, b, jax.random.key(1))
+    return _flops(lowered) / batch
+
+
+def flops_s2d():
+    import jax
+
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+
+    batch = 2
+    cfg = apply_model_defaults(Config(model="S2D", batch_size=batch,
+                                      dtype="bfloat16"))
+    model = create_model(cfg)
+    state = model.init_state(jax.random.key(0), hw=(192, 576))
+    h, w = 192, 576
+    b = {
+        "img_syn": np.zeros((batch, h, w, 3), np.float32),
+        "img_real": np.zeros((batch, h, w, 3), np.float32),
+        "seg_l_syn": np.zeros((batch, h, w), np.int32),
+        "seg_l_real": np.zeros((batch, h, w), np.int32),
+        "dep_l_syn": np.zeros((batch, h, w, 1), np.float32),
+        "depth_l_s": np.zeros((batch, h, w, 4), np.float32),
+    }
+    lowered = jax.jit(model._step_train).lower(state, b, jax.random.key(1))
+    return _flops(lowered) / batch
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["generator", "cycle_gan", "s2d"])
+    ap.add_argument("--rate", nargs="*", default=[],
+                    metavar="NAME=IMG_PER_S",
+                    help="override a measured rate, e.g. s2d_train_bf16=7.3")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    rates = dict(MEASURED)
+    for kv in args.rate:
+        k, v = kv.split("=")
+        rates[k] = float(v)
+
+    rows = []
+    if "generator" not in args.skip:
+        f = flops_generator()
+        for name, peak in (("generator_bf16", V5E_BF16_PEAK),
+                           ("generator_int8_fused", V5E_INT8_MEASURED)):
+            rows.append((name, f, rates[name], peak))
+    if "cycle_gan" not in args.skip:
+        rows.append(("cycle_gan_train_bf16", flops_cycle_gan(),
+                     rates["cycle_gan_train_bf16"], V5E_BF16_PEAK))
+    if "s2d" not in args.skip:
+        rows.append(("s2d_train_bf16", flops_s2d(),
+                     rates["s2d_train_bf16"], V5E_BF16_PEAK))
+
+    out = {}
+    print(f"{'config':26s} {'GFLOP/img':>10s} {'img/s':>8s} "
+          f"{'TFLOP/s':>8s} {'MFU':>6s}")
+    for name, fpi, rate, peak in rows:
+        tps = fpi * rate
+        mfu = tps / peak
+        out[name] = {"gflop_per_img": round(fpi / 1e9, 2),
+                     "img_per_s": rate,
+                     "tflop_per_s": round(tps / 1e12, 1),
+                     "mfu_vs_peak": round(mfu, 3),
+                     "peak_tflop_per_s": peak / 1e12}
+        print(f"{name:26s} {fpi / 1e9:10.1f} {rate:8.1f} "
+              f"{tps / 1e12:8.1f} {mfu * 100:5.1f}%")
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "mfu_report.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()
