@@ -136,7 +136,7 @@ def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32",
     # training on the SAME batch every step blows up after ~10 steps
     # (adversarial + BN pathology) — rotate batches like real training
     def make_batch(j):
-        return jax.device_put({
+        b = {
             "img_syn": simg(1 + 10 * j),
             "img_real": simg(2 + 10 * j),
             "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
@@ -147,7 +147,13 @@ def main_s2d(batch: int = 1, remat: bool = False, dtype: str = "float32",
                                      jnp.float32),
             "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
                                      jnp.float32),
-        }, jax.devices()[0])
+        }
+        if model_name == "semantic_trans_full":  # edge-BCE supervision maps
+            b["seg_e_syn"] = jnp.asarray(
+                (rng.rand(batch, h, w, 1) > 0.9).astype(np.float32))
+            b["seg_e_real"] = jnp.asarray(
+                (rng.rand(batch, h, w, 1) > 0.9).astype(np.float32))
+        return jax.device_put(b, jax.devices()[0])
 
     batches = [make_batch(j) for j in range(3)]
     s = state
@@ -234,15 +240,17 @@ def main_cycle_gan(batch: int = 16, dtype: str = "float32"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
-                    choices=["generator", "S2D", "S2D_base", "semantic_trans", "rf_lw",
-                             "rf_lw7", "cycle_gan"])
+                    choices=["generator", "S2D", "S2D_base", "semantic_trans",
+                             "semantic_trans_full", "rf_lw", "rf_lw7",
+                             "cycle_gan"])
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 1 for the S2D family, 16 for cycle_gan")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    if args.model in ("S2D", "S2D_base", "semantic_trans", "rf_lw", "rf_lw7"):
+    if args.model in ("S2D", "S2D_base", "semantic_trans",
+                      "semantic_trans_full", "rf_lw", "rf_lw7"):
         main_s2d(args.batch or 1, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":
         # explicit --batch is honored verbatim (review fix: 1 was silently

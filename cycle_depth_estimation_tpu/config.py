@@ -180,6 +180,8 @@ MODEL_DEFAULTS = {
     "seg_cycle": dict(no_dropout=True, dataset_mode="synthia"),
     "S2D": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "semantic_trans": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "semantic_trans_full": dict(dataset_mode="try", batch_size=1,
+                                fine_size=192),
     "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "rf_lw7": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),

@@ -31,7 +31,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import Conv, ConvTranspose, Norm, avg_pool, reflect_pad, resize_bilinear
+from ..ops import (
+    Conv,
+    ConvTranspose,
+    Norm,
+    avg_pool,
+    reflect_pad,
+    resize_bilinear,
+    resize_nearest,
+)
 from ..ops.init import make_initializer
 from .seg_network import make_activation, prelu
 
@@ -436,6 +444,165 @@ class RDep(nn.Module):
         dep_4, dep_o = DepthBlock(128, dtype=self.dtype, name="dep")(
             out2, train=train)
         return (out0, out1, out2), seg, (dep_4, dep_o)
+
+
+# ---------------------------------------------------------------------------
+# semantic_trans-generation refiner heads (the snapshot between trymulti and
+# new_multi keeps its own G_side/depth_block/seg_block/R_dep variants —
+# reference my_seg_depth/trymulti/semantic_trans/networks5_ds.py:495-695)
+# ---------------------------------------------------------------------------
+
+
+class GSideST(nn.Module):
+    """semantic_trans G_side (semantic_trans/networks5_ds.py:495-521):
+    channel attention from the deep feature gates the projected skip
+    feature; CONCAT with the deep feature, compress back to df_c. Unlike
+    the new_multi `GSide` it does not halve channels or upsample — the
+    output stays at the deep feature's resolution/width."""
+
+    df_c: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, s_feature, d_feature, *, train: bool = False):
+        c = self.df_c
+        # attention_bs: conv s2 → BN → lrelu → global avg pool; then sigmoid
+        a = Conv(c, 3, stride=2, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="at_conv")(d_feature)
+        a = leaky(Norm("batch", name="at_norm")(a, train=train))
+        a = nn.sigmoid(jnp.mean(a, axis=(1, 2), keepdims=True))
+        # side_conv: conv → lrelu → BN (single conv in this generation)
+        s = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="side_conv")(s_feature)
+        s = Norm("batch", name="side_norm")(leaky(s), train=train)
+        h = jnp.concatenate([d_feature, a * s], axis=-1)
+        h = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="out_conv")(h)
+        return Norm("batch", name="out_norm")(leaky(h), train=train)
+
+
+class DepthBlockST(nn.Module):
+    """semantic_trans depth_block (semantic_trans/networks5_ds.py:523-577):
+    4 single-deconv branches with tanh heads + attention gates; fusion conv
+    to in_c/2; extra ``s_econv`` (sigmoid seg-edge map) and ``depconv``
+    (BN depth map) heads. Returns (F, [4 band depths], sed) where
+    ``sed = concat(edge_map, depth_map)`` — channel 0 edge, channel 1 depth."""
+
+    in_c: int = 128
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = self.in_c
+        dep_o, out_f = [], []
+        for i in range(4):
+            f = ConvTranspose(c // 2, 4, stride=2, padding=1, output_padding=0,
+                              use_bias=True, kernel_init=normal02,
+                              dtype=self.dtype, name=f"up{i}_deconv")(x)
+            f = Norm("batch", name=f"up{i}_norm")(leaky(f), train=train)
+            d = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"depth_out{i}")(f)
+            dep_o.append(jnp.tanh(d))
+            a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
+                     kernel_init=normal02, dtype=self.dtype,
+                     name=f"at{i}_conv")(x)
+            a = Norm("batch", name=f"at{i}_norm")(leaky(a), train=train)
+            a = jnp.mean(a, axis=(1, 2), keepdims=True)
+            out_f.append(nn.sigmoid(a) * f + f)
+        h = jnp.concatenate(out_f, axis=-1)
+        h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="fuse_conv")(h)
+        F = Norm("batch", name="fuse_norm")(leaky(h), train=train)
+        e = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="se_conv")(F)
+        e = nn.sigmoid(Norm("batch", name="se_norm")(e, train=train))
+        d1 = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
+                  dtype=self.dtype, name="dep_conv")(F)
+        d1 = Norm("batch", name="dep_norm")(d1, train=train)
+        return F, dep_o, jnp.concatenate([e, d1], axis=-1)
+
+
+class SegBlockST(nn.Module):
+    """semantic_trans seg_block (semantic_trans/networks5_ds.py:579-598):
+    lrelu → ConvT ×2 → BN, and a 1×1 28-class head + lrelu on the side.
+    Returns (features, logits)."""
+
+    out_c: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = ConvTranspose(self.out_c, 4, stride=2, padding=1, output_padding=0,
+                          use_bias=True, kernel_init=normal02, dtype=self.dtype,
+                          name="deconv")(leaky(x))
+        h = Norm("batch", name="bn")(h, train=train)
+        res = leaky(Conv(28, 1, use_bias=True, kernel_init=normal02,
+                         dtype=self.dtype, name="result")(h))
+        return h, res
+
+
+class RDepST(nn.Module):
+    """semantic_trans R_dep (semantic_trans/networks5_ds.py:600-695):
+    4-level top-down refiner. Each level: GSideST fuses the trunk skip into
+    the running deep feature, DepthBlockST upsamples it (×2) emitting 4 band
+    depths + a (edge, depth) ``sed`` pair, and SegBlockST chains seg
+    features. Per-scale outputs are upsampled to full resolution (bilinear
+    for depths/seds = torch UpsamplingBilinear2d align_corners=True, nearest
+    for seg logits).
+
+    Returns (seds, segs, deps): three (edge,depth) maps, three 28-class
+    logits, three 4-band depth stacks — the [160, 320, 640]-scale pyramid.
+    The reference also computes Dep_80/Seg_80/S_e80 upsamples and a
+    ``dep_f4`` feature that no return value or loss consumes, and declares
+    unused ``up0``/``dep_out``/``norm`` layers — dead code, omitted here.
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, s_features, d_feature, *, train: bool = False):
+        dt = self.dtype
+
+        def up(x, k, method="bilinear"):
+            n, h, w, _ = x.shape
+            if method == "nearest":
+                return resize_nearest(x, (h * k, w * k))
+            return resize_bilinear(x, (h * k, w * k), align_corners=True)
+
+        out0 = GSideST(1024, dtype=dt, name="gs0")(s_features[3], d_feature,
+                                                   train=train)
+        seg_f, seg80 = SegBlockST(512, dtype=dt, name="seg0")(out0, train=train)
+        dep_f1, dep_80, s_e80 = DepthBlockST(1024, dtype=dt, name="dep0")(
+            out0, train=train)
+        del seg80, dep_80, s_e80  # dead in the reference forward
+
+        seg_f, seg160 = SegBlockST(256, dtype=dt, name="seg1")(
+            jnp.concatenate([seg_f, dep_f1], axis=-1), train=train)
+        out1 = GSideST(512, dtype=dt, name="gs1")(s_features[2], dep_f1,
+                                                  train=train)
+        dep_f2, dep_160, s_e160 = DepthBlockST(512, dtype=dt, name="dep1")(
+            out1, train=train)
+
+        seg_f, seg320 = SegBlockST(128, dtype=dt, name="seg2")(
+            jnp.concatenate([seg_f, dep_f2], axis=-1), train=train)
+        out2 = GSideST(256, dtype=dt, name="gs2")(s_features[1], dep_f2,
+                                                  train=train)
+        dep_f3, dep_320, s_e320 = DepthBlockST(256, dtype=dt, name="dep2")(
+            out2, train=train)
+
+        _, seg640 = SegBlockST(64, dtype=dt, name="seg3")(
+            jnp.concatenate([seg_f, dep_f3], axis=-1), train=train)
+        out3 = GSideST(128, dtype=dt, name="gs3")(s_features[0], dep_f3,
+                                                  train=train)
+        _, dep_640, s_e640 = DepthBlockST(128, dtype=dt, name="dep3")(
+            out3, train=train)
+
+        seds = (up(s_e160, 4), up(s_e320, 2), s_e640)
+        segs = (up(seg160, 4, "nearest"), up(seg320, 2, "nearest"), seg640)
+        deps = (jnp.concatenate([up(d, 4) for d in dep_160], axis=-1),
+                jnp.concatenate([up(d, 2) for d in dep_320], axis=-1),
+                jnp.concatenate(dep_640, axis=-1))
+        return seds, segs, deps
 
 
 # ---------------------------------------------------------------------------

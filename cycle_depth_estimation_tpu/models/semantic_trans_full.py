@@ -1,0 +1,430 @@
+"""semantic_trans — the trymulti/semantic_trans generation's OWN pipeline,
+transcribed in full.
+
+TPU-native re-design of reference my_seg_depth/trymulti/semantic_trans/
+model5.py:194-790 (the snapshot between `trymulti` and `new_multi`). Unlike
+the `semantic_trans` registered model (models/semantic_trans.py — that
+generation's *objectives* grafted onto the new_multi S2D pipeline, per the
+round-1 review ask), this model is the literal runnable loop of the
+snapshot: its own R_dep variant (`RDepST`, per-scale (edge, depth) ``sed``
+outputs), the SEG/DEP decoders, and the Dis0_en feature-alignment game.
+One jitted train step contains the reference's 7-phase round-robin
+(model5.py:700-790 ``optimize_parameters``):
+
+1. **G_1 update** (backward_G_1, model5.py:625-652): G_1(syn)→G_2('S')→
+   Seg_de; syn seg CE + 3× LSGAN(Dis0_en(features1), real).
+2. **G_2 update** (backward_G_2, :654-698): real branch G_2('R')→Seg_de seg
+   CE (+ a Dep_de visual forward on the detached features); syn branch on
+   the DETACHED G_1 output: seg CE + 5× LSGAN(Dis0_en, real). The branch
+   features are carried to later phases as the reference stores them on
+   ``self``.
+3. **Seg_de update** (backward_Seg, :449-477): real seg CE; the syn-side
+   LSGAN term is computed on DETACHED features with a frozen Dis0_en, so it
+   contributes value but ZERO gradient — transcribed as-is.
+4. **Dep_de update** (backward_Dep, :617-623): L1 on the syn depth.
+5. **R_D real update** (backward_R_D, :540-559 first half): per-scale edge
+   BCE with the reference's ``se = se + se + bce`` doubling quirk (the
+   3-scale edges end up weighted 4/2/1 and counted twice via
+   ``seg_loss_real = se + CE``), last-scale-only seg CE, and
+   0.2·LSGAN(Dis_160, fake) + LSGAN(Dis_320, fake) feature alignment on the
+   band-1 depth slices.
+6. **R_D syn update** (:560-608 second half): Σ edge BCE + Σ seg CE +
+   10× L1 of the full-res refined depth. (The BCEDepLoss band terms are
+   computed but commented OUT of the loss at model5.py:605 — not run here.)
+7. **Discriminator updates** (backward_D :510-538 + backward_DISDEP
+   :480-508): Dis0_en on fresh detached features (syn=fake/real=true);
+   DIS on (refined depth, seg label) pairs; Dis_160/320 on the stashed
+   depth slices with grad-norm clipping at 1.0. ``Dis_80`` is constructed
+   with an allocated optimizer but never stepped — reproduced. The WGAN-GP
+   ``backward_DIS`` (:433-447) references undefined attributes and cannot
+   run in the reference — its `calc_gradient_penalty` lives (tested) in
+   models/semantic_trans.py and s2d_networks.calc_gradient_penalty.
+
+All optimizers are Adam lr/2 except DIS/Dis_80/160/320 at lr/4
+(model5.py:253-283). BatchNorm statistics thread through the reference's
+forward order; every net stays in batch-stat mode during training (the
+reference never calls .eval() inside optimize_parameters).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import register_model
+from ..config import Config
+from ..ops import resize_bilinear
+from .base_model import BaseModel, ModelState, make_optimizer as make_adam
+from .networks import gan_loss, l1_loss
+from .s2d_networks import (
+    DEP,
+    Discriminator2Seg,
+    G1,
+    GeneralNet,
+    RDepST,
+    SEG,
+    StarDiscriminator,
+    _bce,
+)
+from .seg_network import cross_entropy_loss, seg_accuracy
+
+
+@register_model("semantic_trans_full")
+class SemanticTransFull(BaseModel):
+    loss_names = ("G1", "G2", "seg_real", "dep_syn", "R_D_real", "R_D_syn",
+                  "dep_ref", "D_real", "D_syn", "DEP_real", "DEP_syn",
+                  "d160_real", "d160_syn", "d320_real", "d320_syn",
+                  "acc_syn", "acc_real")
+    visual_names = ("syn_img", "real_img", "syn_seg_l", "syn_seg_pre",
+                    "real_seg_pre", "syn_dep_l", "syn_dep_pre",
+                    "real_dep_pre", "syn_dep_ref", "real_dep_ref")
+    model_names = ("G_1", "G_2", "Seg_de", "Dep_de", "R_D", "Dis0_en", "DIS",
+                   "Dis_80", "Dis_160", "Dis_320")
+    lr_opt_names = ()
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        dt = cfg.compute_dtype()
+        block_config = tuple(cfg.dense_block_config or (6, 12, 32, 32))
+        self.net_G_1 = G1(n_blocks=cfg.g1_blocks, dtype=dt)
+        self.net_G_2 = GeneralNet(block_config=block_config, dtype=dt)
+        self.net_Seg_de = SEG(n_cls=28, dtype=dt)
+        self.net_Dep_de = DEP(dtype=dt)
+        self.net_R_D = RDepST(dtype=dt)
+        self.net_Dis0_en = Discriminator2Seg(dtype=dt)
+        self.net_DIS = StarDiscriminator(repeat_num=5, dtype=dt)
+        self.net_Dis_80 = StarDiscriminator(repeat_num=3, dtype=dt)
+        self.net_Dis_160 = StarDiscriminator(repeat_num=4, dtype=dt)
+        self.net_Dis_320 = StarDiscriminator(repeat_num=4, dtype=dt)
+        lr, b1 = cfg.lr, cfg.beta1
+        clipped = lambda: optax.chain(  # noqa: E731  (model5.py:505,517)
+            optax.clip_by_global_norm(1.0), make_adam(lr / 4, b1))
+        self.opts = {
+            "G_1": make_adam(lr / 2, b1), "G_2": make_adam(lr / 2, b1),
+            "Seg_de": make_adam(lr / 2, b1), "Dep_de": make_adam(lr / 2, b1),
+            "R_D": make_adam(lr / 2, b1), "Dis0_en": make_adam(lr / 2, b1),
+            "DIS": make_adam(lr / 4, b1),
+            "Dis_80": make_adam(lr / 4, b1),  # allocated, never stepped
+            "Dis_160": clipped(), "Dis_320": clipped(),
+        }
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, hw=None) -> ModelState:
+        cfg = self.cfg
+        h, w = hw or (cfg.fine_size, cfg.fine_size * 3)
+        keys = jax.random.split(rng, 10)
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        vG1 = self.net_G_1.init(keys[0], x)
+        g1_out = self.net_G_1.apply(vG1, x)
+        vG2 = self.net_G_2.init(keys[1], g1_out, "S")
+        feat1, feats = self.net_G_2.apply(vG2, g1_out, "S")
+        vSeg = self.net_Seg_de.init(keys[2], feat1)
+        vDep = self.net_Dep_de.init(keys[3], feat1)
+        vRD = self.net_R_D.init(keys[4], feats, feat1)
+        vD0 = self.net_Dis0_en.init(keys[5], feat1)
+        vDIS = self.net_DIS.init(keys[6], jnp.zeros((1, h, w, 2), jnp.float32))
+        vD80 = self.net_Dis_80.init(keys[7], jnp.zeros((1, h, w, 1),
+                                                       jnp.float32))
+        vD160 = self.net_Dis_160.init(
+            keys[8], jnp.zeros((1, h // 4, w // 4, 1), jnp.float32))
+        vD320 = self.net_Dis_320.init(
+            keys[9], jnp.zeros((1, h // 2, w // 2, 1), jnp.float32))
+        vs = dict(G_1=vG1, G_2=vG2, Seg_de=vSeg, Dep_de=vDep, R_D=vRD,
+                  Dis0_en=vD0, DIS=vDIS, Dis_80=vD80, Dis_160=vD160,
+                  Dis_320=vD320)
+        params = {k: v["params"] for k, v in vs.items()}
+        stats = {k: v.get("batch_stats", {}) for k, v in vs.items()}
+        return ModelState(
+            params=params, batch_stats=stats,
+            opt_states={k: self.opts[k].init(params[k]) for k in params},
+            pools={}, step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _opt_step(self, name, loss_fn, params, opt_states):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params[name])
+        upd, opt_states[name] = self.opts[name].update(
+            grads, opt_states[name], params[name])
+        params[name] = optax.apply_updates(params[name], upd)
+        return loss, aux
+
+    @staticmethod
+    def _band1(sed, factor: int):
+        """The per-scale depth slice ``sed[:,1]`` at 1/factor resolution
+        (torch UpsamplingBilinear2d(scale_factor=1/factor) ⇒
+        align_corners=True; model5.py:541-542,587-589)."""
+        b = sed[..., 1:2]
+        if factor == 1:
+            return b
+        n, h, w, _ = b.shape
+        return resize_bilinear(b, (h // factor, w // factor),
+                               align_corners=True)
+
+    def _step_train(self, state: ModelState, batch, rng):
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        syn_seg_l, real_seg_l = batch["seg_l_syn"], batch["seg_l_real"]
+        syn_dep_l = batch["dep_l_syn"]  # (N,H,W,1)
+        syn_seg_le = batch["seg_e_syn"][..., 0]
+        real_seg_le = batch["seg_e_real"][..., 0]
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        opt_states = dict(state.opt_states)
+        metrics: Dict[str, jax.Array] = {}
+        sg = jax.lax.stop_gradient
+
+        # ================= phase 1: G_1 (backward_G_1) =================
+        def g1_loss_fn(g1p):
+            h, s1 = self._apply(self.net_G_1, g1p, stats["G_1"], syn_img,
+                                train=True)
+            (f1, _), s2 = self._apply(self.net_G_2, params["G_2"],
+                                      stats["G_2"], h, "S", train=True)
+            (seg_pre, f2), s_seg = self._apply(
+                self.net_Seg_de, params["Seg_de"], stats["Seg_de"], f1,
+                train=True)
+            # SEG's second output is its input (networks5_ds.py:889) — the
+            # adversarial push reaches G_1 through the un-detached features
+            pre_s, s_d0 = self._apply(self.net_Dis0_en, params["Dis0_en"],
+                                      stats["Dis0_en"], f2, train=True)
+            loss = (cross_entropy_loss(seg_pre, syn_seg_l, 255)
+                    + 3.0 * gan_loss(pre_s, True))
+            return loss, (s1, s2, s_seg, s_d0)
+
+        loss_G1, (s1, s2, s_seg, s_d0) = self._opt_step(
+            "G_1", g1_loss_fn, params, opt_states)
+        stats["G_1"], stats["G_2"] = s1, s2
+        stats["Seg_de"], stats["Dis0_en"] = s_seg, s_d0
+        metrics["G1"] = loss_G1
+
+        # ================= phase 2: G_2 (backward_G_2) =================
+        ss, stats["G_1"] = self._apply(self.net_G_1, params["G_1"],
+                                       stats["G_1"], syn_img, train=True)
+        ss = sg(ss)
+
+        def g2_loss_fn(g2p):
+            s = stats["G_2"]
+            (rf1, rF), s = self._apply(self.net_G_2, g2p, s, real_img, "R",
+                                       train=True)
+            (seg_r, rf2), s_seg = self._apply(
+                self.net_Seg_de, params["Seg_de"], stats["Seg_de"], rf1,
+                train=True)
+            loss_seg = cross_entropy_loss(seg_r, real_seg_l, 255)
+            # Dep_de visual forward on detached features (model5.py:664-668)
+            dep_r, s_dep = self._apply(self.net_Dep_de, params["Dep_de"],
+                                       stats["Dep_de"], sg(rf2), train=True)
+            (sf1, sF), s = self._apply(self.net_G_2, g2p, s, ss, "S",
+                                       train=True)
+            (seg_s, sf2), s_seg = self._apply(
+                self.net_Seg_de, params["Seg_de"], s_seg, sf1, train=True)
+            pre_s, s_d0 = self._apply(self.net_Dis0_en, params["Dis0_en"],
+                                      stats["Dis0_en"], sf2, train=True)
+            loss = (loss_seg + cross_entropy_loss(seg_s, syn_seg_l, 255)
+                    + 5.0 * gan_loss(pre_s, True))
+            aux = dict(s_g2=s, s_seg=s_seg, s_dep=s_dep, s_d0=s_d0,
+                       sf1=sf1, sF=sF, rf1=rf1, rF=rF, seg_real=loss_seg,
+                       real_dep_pre=dep_r, seg_s=seg_s, seg_r=seg_r)
+            return loss, aux
+
+        loss_G2, aux2 = self._opt_step("G_2", g2_loss_fn, params, opt_states)
+        stats["G_2"], stats["Seg_de"] = aux2["s_g2"], aux2["s_seg"]
+        stats["Dep_de"], stats["Dis0_en"] = aux2["s_dep"], aux2["s_d0"]
+        # carried branch features (reference stores them on self)
+        syn_f1, syn_F = sg(aux2["sf1"]), [sg(f) for f in aux2["sF"]]
+        real_f1, real_F = sg(aux2["rf1"]), [sg(f) for f in aux2["rF"]]
+        real_dep_pre = sg(aux2["real_dep_pre"])
+        metrics["G2"] = loss_G2
+        metrics["acc_syn"] = seg_accuracy(aux2["seg_s"], syn_seg_l, 255)
+        metrics["acc_real"] = seg_accuracy(aux2["seg_r"], real_seg_l, 255)
+
+        # ================= phase 3: Seg_de (backward_Seg) ==============
+        def seg_loss_fn(segp):
+            (seg_s, f2s), s_seg = self._apply(
+                self.net_Seg_de, segp, stats["Seg_de"], syn_f1, train=True)
+            (seg_r, _), s_seg = self._apply(
+                self.net_Seg_de, segp, s_seg, real_f1, train=True)
+            loss_real = cross_entropy_loss(seg_r, real_seg_l, 255)
+            # frozen-D LSGAN on DETACHED features: contributes value only,
+            # zero gradient — exactly the reference (model5.py:466-476)
+            pre_s, s_d0 = self._apply(self.net_Dis0_en, params["Dis0_en"],
+                                      stats["Dis0_en"], sg(f2s), train=True)
+            loss = loss_real + gan_loss(pre_s, True)
+            return loss, (loss_real, seg_s, seg_r, s_seg, s_d0)
+
+        loss_seg, (loss_seg_real, syn_seg_pre, real_seg_pre, s_seg, s_d0) = (
+            self._opt_step("Seg_de", seg_loss_fn, params, opt_states))
+        stats["Seg_de"], stats["Dis0_en"] = s_seg, s_d0
+        metrics["seg_real"] = loss_seg_real
+
+        # ================= phase 4: Dep_de (backward_Dep) ==============
+        def dep_loss_fn(depp):
+            dep_s, s_dep = self._apply(self.net_Dep_de, depp,
+                                       stats["Dep_de"], syn_f1, train=True)
+            return l1_loss(dep_s, syn_dep_l), (dep_s, s_dep)
+
+        loss_dep, (syn_dep_pre, s_dep) = self._opt_step(
+            "Dep_de", dep_loss_fn, params, opt_states)
+        stats["Dep_de"] = s_dep
+        metrics["dep_syn"] = loss_dep
+
+        # ================= phase 5: R_D real (backward_R_D) ============
+        def rd_real_loss_fn(rdp):
+            (seds, segs, _), s_rd = self._apply(
+                self.net_R_D, rdp, stats["R_D"], real_F, real_f1, train=True)
+            se = jnp.zeros((), jnp.float32)
+            for sed in seds:
+                # reference accumulation quirk (model5.py:545-546):
+                # se = se + se + bce → scales weighted 4/2/1
+                se = se + se + _bce(sed[..., 0], real_seg_le)
+            # seg_loss_real is overwritten each iteration → last scale only,
+            # plus a second copy of the edge sum (model5.py:547-548)
+            seg_loss = se + cross_entropy_loss(segs[2], real_seg_l, 255)
+            d160, _ = self._apply(self.net_Dis_160, params["Dis_160"], {},
+                                  self._band1(seds[0], 4), train=True)
+            d320, _ = self._apply(self.net_Dis_320, params["Dis_320"], {},
+                                  self._band1(seds[1], 2), train=True)
+            loss = (se + seg_loss + 0.2 * gan_loss(d160, False)
+                    + gan_loss(d320, False))
+            return loss, (seds, s_rd)
+
+        loss_rd_real, (r_seds, s_rd) = self._opt_step(
+            "R_D", rd_real_loss_fn, params, opt_states)
+        stats["R_D"] = s_rd
+        real_dep_ref = sg(self._band1(r_seds[2], 1))
+        real_dep_160 = sg(self._band1(r_seds[0], 4))
+        real_dep_320 = sg(self._band1(r_seds[1], 2))
+        metrics["R_D_real"] = loss_rd_real
+
+        # ================= phase 6: R_D syn ============================
+        def rd_syn_loss_fn(rdp):
+            (seds, segs, _), s_rd = self._apply(
+                self.net_R_D, rdp, stats["R_D"], syn_F, syn_f1, train=True)
+            se = jnp.zeros((), jnp.float32)
+            seg = jnp.zeros((), jnp.float32)
+            for sed in seds:
+                se = se + _bce(sed[..., 0], syn_seg_le)
+            for sg_ in segs:
+                seg = seg + cross_entropy_loss(sg_, syn_seg_l, 255)
+            dep_ref = l1_loss(seds[2][..., 1:2], syn_dep_l)
+            # the BCEDepLoss band terms are computed but commented OUT of
+            # the loss in the reference (model5.py:573-586, 605) — not run
+            loss = 10.0 * dep_ref + se + seg
+            return loss, (seds, dep_ref, s_rd)
+
+        loss_rd_syn, (s_seds, dep_ref_loss, s_rd) = self._opt_step(
+            "R_D", rd_syn_loss_fn, params, opt_states)
+        stats["R_D"] = s_rd
+        syn_dep_ref = sg(self._band1(s_seds[2], 1))
+        syn_dep_160 = sg(self._band1(s_seds[0], 4))
+        syn_dep_320 = sg(self._band1(s_seds[1], 2))
+        metrics["R_D_syn"] = loss_rd_syn
+        metrics["dep_ref"] = dep_ref_loss
+
+        # ============ phase 7a: Dis0_en (backward_D) ===================
+        ss2, stats["G_1"] = self._apply(self.net_G_1, params["G_1"],
+                                        stats["G_1"], syn_img, train=True)
+        (sf1_d, _), s_g2 = self._apply(self.net_G_2, params["G_2"],
+                                       stats["G_2"], sg(ss2), "S", train=True)
+        (_, sf2_d), s_seg = self._apply(self.net_Seg_de, params["Seg_de"],
+                                        stats["Seg_de"], sg(sf1_d), train=True)
+        (rf1_d, _), s_g2 = self._apply(self.net_G_2, params["G_2"], s_g2,
+                                       real_img, "R", train=True)
+        (_, rf2_d), s_seg = self._apply(self.net_Seg_de, params["Seg_de"],
+                                        s_seg, sg(rf1_d), train=True)
+        stats["G_2"], stats["Seg_de"] = s_g2, s_seg
+
+        def d0_loss_fn(d0p):
+            s = stats["Dis0_en"]
+            pre_s, s = self._apply(self.net_Dis0_en, d0p, s, sg(sf2_d),
+                                   train=True)
+            pre_r, s = self._apply(self.net_Dis0_en, d0p, s, sg(rf2_d),
+                                   train=True)
+            l_syn = gan_loss(pre_s, False)
+            l_real = gan_loss(pre_r, True)
+            return l_real + l_syn, (l_real, l_syn, s)
+
+        _, (l_real, l_syn, s_d0) = self._opt_step(
+            "Dis0_en", d0_loss_fn, params, opt_states)
+        stats["Dis0_en"] = s_d0
+        metrics["D_real"], metrics["D_syn"] = l_real, l_syn
+
+        # ============ phase 7b: DIS / Dis_160 / Dis_320 ================
+        real_pair = jnp.concatenate(
+            [real_dep_ref, real_seg_l.astype(jnp.float32)[..., None]], -1)
+        syn_pair = jnp.concatenate(
+            [syn_dep_ref, syn_seg_l.astype(jnp.float32)[..., None]], -1)
+
+        def dis_loss_fn(dp):
+            pr, _ = self._apply(self.net_DIS, dp, {}, real_pair, train=True)
+            pf, _ = self._apply(self.net_DIS, dp, {}, syn_pair, train=True)
+            return (gan_loss(pr, True) + gan_loss(pf, False),
+                    (gan_loss(pr, True), gan_loss(pf, False)))
+
+        _, (dep_real, dep_syn) = self._opt_step(
+            "DIS", dis_loss_fn, params, opt_states)
+        metrics["DEP_real"], metrics["DEP_syn"] = dep_real, dep_syn
+
+        for name, r, f in (("Dis_160", real_dep_160, syn_dep_160),
+                           ("Dis_320", real_dep_320, syn_dep_320)):
+            net = getattr(self, f"net_{name}")
+
+            def d_loss_fn(dp, net=net, r=r, f=f):
+                pr, _ = self._apply(net, dp, {}, r, train=True)
+                pf, _ = self._apply(net, dp, {}, f, train=True)
+                # the reference LOGS both sides against the real target
+                # (model5.py:496-505) while stepping real-True/syn-False
+                return (gan_loss(pr, True) + gan_loss(pf, False),
+                        (gan_loss(pr, True), gan_loss(pf, True)))
+
+            _, (lr_, lf_) = self._opt_step(name, d_loss_fn, params, opt_states)
+            key = "d160" if name == "Dis_160" else "d320"
+            metrics[f"{key}_real"], metrics[f"{key}_syn"] = lr_, lf_
+
+        new_state = state.replace(params=params, batch_stats=stats,
+                                  opt_states=opt_states, step=state.step + 1)
+        return new_state, self.metrics_dict(**metrics)
+
+    # ------------------------------------------------------------------
+    def _step_eval(self, state: ModelState, batch):
+        params, stats = state.params, state.batch_stats
+        syn_img, real_img = batch["img_syn"], batch["img_real"]
+        ss, _ = self._apply(self.net_G_1, params["G_1"], stats["G_1"],
+                            syn_img, train=False)
+        (sf1, sF), _ = self._apply(self.net_G_2, params["G_2"], stats["G_2"],
+                                   ss, "S", train=False)
+        (rf1, rF), _ = self._apply(self.net_G_2, params["G_2"], stats["G_2"],
+                                   real_img, "R", train=False)
+        (seg_s, _), _ = self._apply(self.net_Seg_de, params["Seg_de"],
+                                    stats["Seg_de"], sf1, train=False)
+        (seg_r, _), _ = self._apply(self.net_Seg_de, params["Seg_de"],
+                                    stats["Seg_de"], rf1, train=False)
+        dep_s, _ = self._apply(self.net_Dep_de, params["Dep_de"],
+                               stats["Dep_de"], sf1, train=False)
+        dep_r, _ = self._apply(self.net_Dep_de, params["Dep_de"],
+                               stats["Dep_de"], rf1, train=False)
+        (s_seds, _, _), _ = self._apply(self.net_R_D, params["R_D"],
+                                        stats["R_D"], sF, sf1, train=False)
+        (r_seds, _, _), _ = self._apply(self.net_R_D, params["R_D"],
+                                        stats["R_D"], rF, rf1, train=False)
+        syn_seg_l = batch["seg_l_syn"]
+        syn_dep_l = batch["dep_l_syn"]
+        metrics = {
+            "seg_syn": cross_entropy_loss(seg_s, syn_seg_l, 255),
+            "dep_syn": l1_loss(dep_s, syn_dep_l),
+            "dep_ref": l1_loss(s_seds[2][..., 1:2], syn_dep_l),
+            "acc_syn": seg_accuracy(seg_s, syn_seg_l, 255),
+        }
+        if "seg_l_real" in batch:
+            metrics["seg_real"] = cross_entropy_loss(
+                seg_r, batch["seg_l_real"], 255)
+            metrics["acc_real"] = seg_accuracy(seg_r, batch["seg_l_real"], 255)
+        visuals = dict(
+            syn_img=syn_img, real_img=real_img, syn_seg_l=syn_seg_l,
+            syn_dep_l=syn_dep_l,
+            syn_seg_pre=jnp.argmax(seg_s, -1),
+            real_seg_pre=jnp.argmax(seg_r, -1),
+            syn_dep_pre=dep_s, real_dep_pre=dep_r,
+            syn_dep_ref=s_seds[2][..., 1:2],
+            real_dep_ref=r_seds[2][..., 1:2])
+        return self.metrics_dict(**metrics), visuals

@@ -653,6 +653,105 @@ def import_rdep(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def _gside_st(sd: Mapping[str, np.ndarray], prefix: str):
+    """Map a semantic_trans G_side (semantic_trans/networks5_ds.py:495-521)
+    onto our GSideST (single side conv, concat fusion)."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["at_conv"] = _conv_entry(sd, f"{prefix}.attention_bs.0")
+    p["at_norm"], s["at_norm"] = _bn(sd, f"{prefix}.attention_bs.1")
+    p["side_conv"] = _conv_entry(sd, f"{prefix}.side_conv.0")
+    p["side_norm"], s["side_norm"] = _bn(sd, f"{prefix}.side_conv.2")
+    p["out_conv"] = _conv_entry(sd, f"{prefix}.conv.0")
+    p["out_norm"], s["out_norm"] = _bn(sd, f"{prefix}.conv.2")
+    return p, s
+
+
+def import_rdep_st(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a semantic_trans-generation ``R_dep`` state dict
+    (semantic_trans/networks5_ds.py:600-695, saved as ``<iter>_net_R_D.pth``
+    by that snapshot) into `models.s2d_networks.RDepST` variables.
+
+    Dead declared-but-unused reference submodules (``up0``, ``dep_out``,
+    ``norm``) are dropped; the 4 AT/Dep/Seg levels map onto
+    gs{0-3}/dep{0-3}/seg{0-3}.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for k in range(4):
+        params[f"gs{k}"], stats[f"gs{k}"] = _gside_st(sd, f"AT.{k}")
+        # seg_block: deconv / bn / result (networks5_ds.py:579-598)
+        sp = {"deconv": _conv_entry(sd, f"Seg.{k}.deconv", transposed=True),
+              "result": _conv_entry(sd, f"Seg.{k}.result")}
+        ss: Dict[str, Any] = {}
+        sp["bn"], ss["bn"] = _bn(sd, f"Seg.{k}.bn")
+        params[f"seg{k}"], stats[f"seg{k}"] = sp, ss
+        # depth_block (networks5_ds.py:523-577)
+        dp: Dict[str, Any] = {}
+        ds: Dict[str, Any] = {}
+        for i in range(4):
+            dp[f"up{i}_deconv"] = _conv_entry(sd, f"Dep.{k}.upconv.{i}.0",
+                                              transposed=True)
+            dp[f"up{i}_norm"], ds[f"up{i}_norm"] = _bn(
+                sd, f"Dep.{k}.upconv.{i}.2")
+            dp[f"depth_out{i}"] = _conv_entry(sd, f"Dep.{k}.depth_out.{i}.0")
+            dp[f"at{i}_conv"] = _conv_entry(sd, f"Dep.{k}.attention_bs.{i}.0")
+            dp[f"at{i}_norm"], ds[f"at{i}_norm"] = _bn(
+                sd, f"Dep.{k}.attention_bs.{i}.2")
+        dp["fuse_conv"] = _conv_entry(sd, f"Dep.{k}.conv.0")
+        dp["fuse_norm"], ds["fuse_norm"] = _bn(sd, f"Dep.{k}.conv.2")
+        dp["se_conv"] = _conv_entry(sd, f"Dep.{k}.s_econv.0")
+        dp["se_norm"], ds["se_norm"] = _bn(sd, f"Dep.{k}.s_econv.1")
+        dp["dep_conv"] = _conv_entry(sd, f"Dep.{k}.depconv.0")
+        dp["dep_norm"], ds["dep_norm"] = _bn(sd, f"Dep.{k}.depconv.1")
+        params[f"dep{k}"], stats[f"dep{k}"] = dp, ds
+    return {"params": params, "batch_stats": stats}
+
+
+def import_seg_decoder(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a reference ``SEG`` decoder (networks5_ds.py:866-890, both the
+    semantic_trans and new_multi copies; saved as ``<iter>_net_Seg_de.pth``)
+    into `models.s2d_networks.SEG` variables. The DeconvBlocks run with
+    ``batch_norm=False`` so their declared ``bn`` entries are dead and
+    dropped."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {
+        f"up{i}": {"deconv": _conv_entry(sd, f"Up.{i}.deconv",
+                                         transposed=True)}
+        for i in range(4)}
+    params["head"] = _conv_entry(sd, "Up.4")
+    stats: Dict[str, Any] = {}
+    params["act_norm"], stats["act_norm"] = _bn(sd, "activation_seg.0")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_dep_decoder(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a reference ``DEP`` decoder (networks5_ds.py:892-921; saved as
+    ``<iter>_net_Dep_de.pth``) into `models.s2d_networks.DEP` variables
+    (ordimat coordinate channels are generated, not parameters)."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {
+        f"up{i}": {"deconv": _conv_entry(sd, f"Up.{i}.deconv",
+                                         transposed=True)}
+        for i in range(4)}
+    params["head"] = _conv_entry(sd, "Up.4")
+    return {"params": params}
+
+
+def import_star_discriminator(sd: Mapping[str, np.ndarray],
+                              repeat_num: int = 6) -> Dict[str, Any]:
+    """Import a reference ``Discriminator`` (StarGAN-style, norm-free —
+    networks5_ds.py:264-288; the semantic_trans DIS/Dis_80/160/320 nets)
+    into `models.s2d_networks.StarDiscriminator` variables."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {
+        f"conv{i}": _conv_entry(sd, f"main.{2 * i}")
+        for i in range(repeat_num)}
+    params["head"] = _conv_entry(sd, "conv1")
+    return {"params": params}
+
+
 def import_torchvision_densenet(sd: Mapping[str, np.ndarray],
                                 block_config=(6, 12, 32, 32)) -> Dict[str, Any]:
     """Import a torchvision DenseNet state dict (densenet121/169) into our
