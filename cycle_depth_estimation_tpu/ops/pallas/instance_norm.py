@@ -61,9 +61,9 @@ def _pallas_instance_norm(x: jax.Array, eps: float, interpret: bool) -> jax.Arra
         functools.partial(_kernel, eps=eps),
         grid=(n,),
         in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
+                               memory_space=pl.ANY if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x)
