@@ -240,16 +240,16 @@ def main_cycle_gan(batch: int = 16, dtype: str = "float32"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
-                    choices=["generator", "S2D", "S2D_base", "semantic_trans",
-                             "semantic_trans_full", "rf_lw", "rf_lw7",
-                             "cycle_gan"])
+                    choices=["generator", "S2D", "S2D_base", "S2D_alt",
+                             "semantic_trans", "semantic_trans_full", "rf_lw",
+                             "rf_lw7", "cycle_gan"])
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 1 for the S2D family, 16 for cycle_gan")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    if args.model in ("S2D", "S2D_base", "semantic_trans",
+    if args.model in ("S2D", "S2D_base", "S2D_alt", "semantic_trans",
                       "semantic_trans_full", "rf_lw", "rf_lw7"):
         main_s2d(args.batch or 1, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":

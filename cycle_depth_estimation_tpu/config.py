@@ -185,6 +185,8 @@ MODEL_DEFAULTS = {
     "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "rf_lw7": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "S2D_alt": dict(dataset_mode="try", batch_size=1, fine_size=192,
+                    net_g="3blocks"),
 }
 
 

@@ -1160,6 +1160,105 @@ class FeatureNet(nn.Module):
         return features, out
 
 
+class GBase(nn.Module):
+    """Base-generation G_1 (my_seg_depth/networks.py:83-127): CycleGAN-style
+    encoder with **BatchNorm** — reflect-pad 7×7 stem, two stride-2 downs,
+    ``n_blocks`` resnet blocks, reflect-pad 7×7 head to 128 channels + Tanh.
+    The decoder half is commented out in the reference, so the output stays
+    at 1/4 resolution. BatchNorm ⇒ bias-free convs everywhere except the
+    final head (networks.py:90-92,121)."""
+
+    ngf: int = 64
+    n_blocks: int = 3
+    out_nc: int = 128
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = reflect_pad(x, 3)
+        h = Conv(self.ngf, 7, use_bias=False, kernel_init=normal02,
+                 dtype=self.dtype, name="stem_conv")(h)
+        h = nn.relu(Norm("batch", name="stem_norm")(h, train=train))
+        for i in range(2):
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1,
+                     use_bias=False, kernel_init=normal02, dtype=self.dtype,
+                     name=f"down{i}_conv")(h)
+            h = nn.relu(Norm("batch", name=f"down{i}_norm")(h, train=train))
+        dim = self.ngf * 4
+        for i in range(self.n_blocks):
+            r = reflect_pad(h, 1)
+            r = Conv(dim, 3, use_bias=False, kernel_init=normal02,
+                     dtype=self.dtype, name=f"block{i}_conv0")(r)
+            r = nn.relu(Norm("batch", name=f"block{i}_norm0")(r, train=train))
+            r = reflect_pad(r, 1)
+            r = Conv(dim, 3, use_bias=False, kernel_init=normal02,
+                     dtype=self.dtype, name=f"block{i}_conv1")(r)
+            r = Norm("batch", name=f"block{i}_norm1")(r, train=train)
+            h = h + r
+        h = reflect_pad(h, 3)
+        h = Conv(self.out_nc, 7, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        return jnp.tanh(h)
+
+
+class _SkipDecoderAlt(nn.Module):
+    """Shared body of the base generation's ALTERNATE SEG/DEP decoders
+    (my_seg_depth/networks.py:289-351, the Feature_net pipeline): 1×1
+    ``trans`` adapters over the three dense-block features (deepest first)
+    + a skip-concat ConvTranspose-k2-s2 chain from the 1024-ch PSP output
+    up to full resolution."""
+
+    out_c: int
+    dtype: Optional[Dtype] = None
+
+    TRANS = (256, 256, 128)
+    UP = (512, 256, 256)
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        h = x
+        for i in range(3):
+            f = Conv(self.TRANS[i], 1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"trans_{i}")(features[2 - i])
+            h = ConvTranspose(self.UP[i], 2, stride=2, padding=0,
+                              output_padding=0, use_bias=True,
+                              kernel_init=normal02, dtype=self.dtype,
+                              name=f"up_{i}")(
+                jnp.concatenate([h, f], axis=-1))
+        return ConvTranspose(self.out_c, 2, stride=2, padding=0,
+                             output_padding=0, use_bias=True,
+                             kernel_init=normal02, dtype=self.dtype,
+                             name="up_3")(h)
+
+
+class SEGAlt(nn.Module):
+    """Alternate SEG decoder (networks.py:289-319): skip decoder + **Tanh**
+    over the class logits (the base generation trains CE on tanh outputs —
+    a reference quirk, transcribed)."""
+
+    n_cls: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        h = _SkipDecoderAlt(self.n_cls, dtype=self.dtype, name="dec")(
+            features, x, train=train)
+        return jnp.tanh(h)
+
+
+class DEPAlt(nn.Module):
+    """Alternate DEP decoder (networks.py:321-351): skip decoder +
+    LeakyReLU(0.01) head."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features, x, *, train: bool = False):
+        h = _SkipDecoderAlt(1, dtype=self.dtype, name="dec")(
+            features, x, train=train)
+        return nn.leaky_relu(h, 0.01)
+
+
 class DiscriminatorSeg(nn.Module):
     """Discriminator_seg (new_depseg/networks2.py:462-494): 1×1 channel-
     halving stack (1024 → 512 → 256 → 128) with LeakyReLU(0.01), then a 1×1

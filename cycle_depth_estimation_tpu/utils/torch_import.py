@@ -653,6 +653,74 @@ def import_rdep(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def import_gbase(sd: Mapping[str, np.ndarray], n_blocks: int = 3
+                 ) -> Dict[str, Any]:
+    """Import a base-generation alternate G_1 (my_seg_depth/networks.py:
+    83-127 — CycleGAN-style BatchNorm encoder) into
+    `models.s2d_networks.GBase` variables.
+
+    torch flat Sequential: stem conv@1 BN@2, downs conv@{4,7} BN@{5,8},
+    resnet blocks at 10..10+n−1 (``conv_block.{1,2,5,6}``), head conv at
+    ``11+n``.
+    """
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {"stem_conv": _conv_entry(sd, "model.1")}
+    stats: Dict[str, Any] = {}
+    params["stem_norm"], stats["stem_norm"] = _bn(sd, "model.2")
+    for i in range(2):
+        params[f"down{i}_conv"] = _conv_entry(sd, f"model.{4 + 3 * i}")
+        params[f"down{i}_norm"], stats[f"down{i}_norm"] = _bn(
+            sd, f"model.{5 + 3 * i}")
+    for i in range(n_blocks):
+        base = f"model.{10 + i}.conv_block"
+        params[f"block{i}_conv0"] = _conv_entry(sd, f"{base}.1")
+        params[f"block{i}_norm0"], stats[f"block{i}_norm0"] = _bn(
+            sd, f"{base}.2")
+        params[f"block{i}_conv1"] = _conv_entry(sd, f"{base}.5")
+        params[f"block{i}_norm1"], stats[f"block{i}_norm1"] = _bn(
+            sd, f"{base}.6")
+    params["head"] = _conv_entry(sd, f"model.{11 + n_blocks}")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_skip_decoder_alt(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a base-generation ALTERNATE SEG/DEP decoder
+    (my_seg_depth/networks.py:289-351: ``trans`` 1×1 ModuleList + ``Up``
+    ConvTranspose-k2-s2 ModuleList) into `SEGAlt`/`DEPAlt` variables."""
+    sd = strip_module_prefix(dict(sd))
+    dec: Dict[str, Any] = {}
+    for i in range(3):
+        dec[f"trans_{i}"] = _conv_entry(sd, f"trans.{i}")
+    for i in range(4):
+        dec[f"up_{i}"] = _conv_entry(sd, f"Up.{i}", transposed=True)
+    return {"params": {"dec": dec}}
+
+
+def import_feature_net(sd: Mapping[str, np.ndarray],
+                       block_config=(6, 8, 8)) -> Dict[str, Any]:
+    """Import a reference ``Feature_net`` (my_seg_depth/networks.py:226-288:
+    stemless DenseNet growth-48 + the 4-branch PSP head) into
+    `models.s2d_networks.FeatureNet` variables."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, n_layers in enumerate(block_config):
+        params[f"denseblock{i + 1}"], stats[f"denseblock{i + 1}"] = _dense_block(
+            sd, f"features.denseblock{i + 1}", n_layers)
+        if i < len(block_config) - 1:
+            tp: Dict[str, Any] = {
+                "conv": _conv_entry(sd, f"features.transition{i + 1}.conv")}
+            ts: Dict[str, Any] = {}
+            tp["norm"], ts["norm"] = _bn(sd, f"features.transition{i + 1}.norm")
+            params[f"transition{i + 1}"] = tp
+            stats[f"transition{i + 1}"] = ts
+    params["psp_norm_in"], stats["psp_norm_in"] = _bn(sd, "psp.0")
+    for j, name in enumerate(("psp_b0", "psp_b1", "psp_b2", "psp_b3")):
+        params[name] = _conv_entry(sd, f"psp.{j + 2}")
+    params["psp_norm_out"], stats["psp_norm_out"] = _bn(sd, "psp.6")
+    return {"params": params, "batch_stats": stats}
+
+
 def _gside_st(sd: Mapping[str, np.ndarray], prefix: str):
     """Map a semantic_trans G_side (semantic_trans/networks5_ds.py:495-521)
     onto our GSideST (single side conv, concat fusion)."""

@@ -149,3 +149,107 @@ def test_drop_discriminator_dropout_active_in_train():
     y3 = d.apply(vs, x, train=False)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
     assert np.isfinite(np.asarray(y3)).all()
+
+
+# ---------------------------------------------------------------------------
+# the full alternate pipeline (reference my_seg_depth/train.py:221-409)
+# ---------------------------------------------------------------------------
+
+def _ref_networks():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "networks_base_alt_test", "/root/reference/my_seg_depth/networks.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sd(net):
+    return {k: v.numpy() for k, v in net.state_dict().items()}
+
+
+def test_alt_pipeline_matches_reference():
+    """GBase → FeatureNet → SEGAlt/DEPAlt chained forward parity against the
+    reference's own torch modules (networks.py:83-127, 226-351) through the
+    matching importers."""
+    from cycle_depth_estimation_tpu.models.s2d_networks import (
+        DEPAlt,
+        GBase,
+        SEGAlt,
+    )
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_feature_net,
+        import_gbase,
+        import_skip_decoder_alt,
+    )
+
+    ref = _ref_networks()
+    torch.manual_seed(11)
+    g_t = ref.G_1(input_nc=3, out_nc=128).eval()
+    f_t = ref.Feature_net(input_nc=128, mid_nc=1024).eval()
+    seg_t = ref.SEG(n_cls=28).eval()
+    dep_t = ref.DEP().eval()
+
+    x = RNG.randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        tf1 = g_t(torch.from_numpy(x))
+        tF_, tpsp = f_t(tf1)
+        tseg = seg_t(list(tF_), tpsp)
+        tdep = dep_t(list(tF_), tpsp)
+
+    vg = jax.tree.map(jnp.asarray, import_gbase(_sd(g_t)))
+    vf = jax.tree.map(jnp.asarray, import_feature_net(_sd(f_t)))
+    vseg = jax.tree.map(jnp.asarray, import_skip_decoder_alt(_sd(seg_t)))
+    vdep = jax.tree.map(jnp.asarray, import_skip_decoder_alt(_sd(dep_t)))
+
+    of1 = GBase().apply(vg, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(of1),
+                               tf1.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+    (oF, opsp) = FeatureNet().apply(vf, of1, train=False)
+    np.testing.assert_allclose(np.asarray(opsp),
+                               tpsp.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+    oseg = SEGAlt(n_cls=28).apply(vseg, oF, opsp, train=False)
+    odep = DEPAlt().apply(vdep, oF, opsp, train=False)
+    # full-resolution tanh class maps / leaky-relu depth (reference quirks)
+    assert oseg.shape == (1, 64, 96, 28) and odep.shape == (1, 64, 96, 1)
+    np.testing.assert_allclose(np.asarray(oseg),
+                               tseg.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(odep),
+                               tdep.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_s2d_alt_train_step():
+    """The registered S2D_alt model: 5-phase step, finite metrics, every
+    net's params move."""
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+
+    cfg = apply_model_defaults(Config(model="S2D_alt", batch_size=1))
+    model = create_model(cfg)
+    h, w = 64, 96
+    state = model.init_state(jax.random.key(0), hw=(h, w))
+    p0 = jax.tree.map(np.asarray, state.params)
+
+    def batch(j):
+        r = np.random.RandomState(j)
+        return {
+            "img_syn": jnp.asarray(r.randn(1, h, w, 3), jnp.float32) * 0.5,
+            "img_real": jnp.asarray(r.randn(1, h, w, 3), jnp.float32) * 0.5,
+            "seg_l_syn": jnp.asarray(r.randint(0, 28, (1, h, w)), jnp.int32),
+            "seg_l_real": jnp.asarray(r.randint(0, 28, (1, h, w)), jnp.int32),
+            "dep_l_syn": jnp.asarray(r.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+        }
+
+    for i in range(2):
+        state, metrics = model.train_step(state, batch(i), jax.random.key(i))
+    metrics = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    for name in model.model_names:
+        before = jax.tree.leaves(p0[name])
+        after = jax.tree.leaves(jax.tree.map(np.asarray, state.params[name]))
+        assert any(not np.array_equal(a, b)
+                   for a, b in zip(before, after)), f"{name} never updated"
+    me, visuals = model.eval_step(state, batch(9))
+    assert all(np.isfinite(float(v)) for v in me.values())
+    assert {"syn_seg_pre", "syn_dep_pre"} <= set(visuals)
