@@ -121,6 +121,13 @@ class Config:
     dense_block_config: Optional[List[int]] = None  # default (6, 12, 32, 32)
     g1_blocks: int = 3
     resnet_layers: Optional[List[int]] = None       # rf_lw: default (3, 4, 23, 3)
+    # dis_seg/G2Blocks generations (SURVEY rows 32-33): condition the
+    # S2D_base feature discriminator on the seg label map (Discriminator.
+    # forward(input, sege), dis_seg/networks2.py:346-354), and expose its
+    # depth — G2Blocks trains repeat_num 3 instead of 4
+    # (G2Blocks/networks2.py:332)
+    dis_seg: bool = False
+    d_repeat_num: Optional[int] = None
     # rf_lw syn-branch adapter path: None keeps the driver default ('real',
     # mdoel6.py:470 / model7.py:397 pass no type); 'syn' selects the
     # model_ins-style per-domain split (reference model_ins.py:487)

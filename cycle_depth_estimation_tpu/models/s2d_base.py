@@ -56,7 +56,9 @@ class S2DBaseModel(BaseModel):
         # StarGAN-style feature D with Dropout2d (networks2.py:331-353 via
         # define_D :589-601) — NOT the PatchGAN _Discriminator of later
         # generations.
-        self.net_Dis_en = DropDiscriminator(conv_dim=cfg.ndf, dtype=dt)
+        self.net_Dis_en = DropDiscriminator(conv_dim=cfg.ndf,
+                                            repeat_num=cfg.d_repeat_num or 4,
+                                            dtype=dt)
         self.net_Seg_de = SEG2(n_cls=28, dtype=dt)
         self.net_Dep_de = DEP2(dtype=dt)
         self.opts = {k: make_adam(cfg.lr, cfg.beta1)
@@ -74,7 +76,9 @@ class S2DBaseModel(BaseModel):
         g1_out = self.net_G_1.apply(vG1, x)
         vG2 = self.net_G_2.init(keys[1], g1_out, "S")
         feats, psp = self.net_G_2.apply(vG2, g1_out, "S")
-        vD = self.net_Dis_en.init(keys[2], g1_out)
+        sege0 = (jnp.zeros((1, h, w, 1), jnp.float32) if self.cfg.dis_seg
+                 else None)
+        vD = self.net_Dis_en.init(keys[2], g1_out, sege0)
         vSeg = self.net_Seg_de.init(keys[3], feats, psp)
         vDep = self.net_Dep_de.init(keys[4], feats, psp)
         vs = dict(G_1=vG1, G_2=vG2, Dis_en=vD, Seg_de=vSeg, Dep_de=vDep)
@@ -103,6 +107,13 @@ class S2DBaseModel(BaseModel):
         # the G and D phases, with independent draws
         k_dis_g, k_dis_d = jax.random.split(rng)
         metrics = {}
+        # dis_seg generation: Dis_en is conditioned on the GT label maps
+        # (dis_seg/model2.py:307-309,332 — syn label in the G phase, each
+        # branch's own label in the D phase)
+        syn_sege = (syn_seg_l.astype(jnp.float32)[..., None]
+                    if self.cfg.dis_seg else None)
+        real_sege = (real_seg_l.astype(jnp.float32)[..., None]
+                     if self.cfg.dis_seg else None)
 
         # forward (model2.py:288-293): real trunk pass. The reference's
         # forward() also runs G_1 once here and backward_G reuses the stored
@@ -123,7 +134,7 @@ class S2DBaseModel(BaseModel):
             f1, s1 = self._apply(self.net_G_1, g1p, stats["G_1"], syn_img,
                                  train=True)
             pre_s, _ = self._apply(self.net_Dis_en, params["Dis_en"],
-                                   stats["Dis_en"], f1, train=True,
+                                   stats["Dis_en"], f1, syn_sege, train=True,
                                    rng=k_dis_g)
             loss_g1 = gan_loss(pre_s, True)
             (syn_f2, syn_psp), s2 = self._apply(
@@ -200,10 +211,11 @@ class S2DBaseModel(BaseModel):
         # ---- 4. D step ----
         def d_loss_fn(dp):
             s = stats["Dis_en"]
-            pre_s, s = self._apply(self.net_Dis_en, dp, s, syn_f1, train=True,
-                                   rng=k_dis_d)
+            pre_s, s = self._apply(self.net_Dis_en, dp, s, syn_f1, syn_sege,
+                                   train=True, rng=k_dis_d)
             pre_r, s = self._apply(self.net_Dis_en, dp, s, real_feat64,
-                                   train=True, rng=jax.random.fold_in(k_dis_d, 1))
+                                   real_sege, train=True,
+                                   rng=jax.random.fold_in(k_dis_d, 1))
             ls = gan_loss(pre_s, False)
             lr_ = gan_loss(pre_r, True)
             return ls + lr_, (ls, lr_, s)

@@ -711,9 +711,19 @@ class DropDiscriminator(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, sege=None, *, train: bool = False):
+        if sege is not None:
+            # dis_seg generation: the D is conditioned on the (float) seg
+            # label map, nearest-downsampled ×0.5 to the feature resolution
+            # and concatenated IN FRONT (dis_seg/networks2.py:346-349;
+            # G2Blocks keeps the same forward at repeat_num 3)
+            n, hh, ww, _ = sege.shape
+            x = jnp.concatenate(
+                [resize_nearest(sege, (hh // 2, ww // 2)), x], axis=-1)
         h = x
-        dim = self.conv_dim
+        # the dis_seg copy seeds the doubling from conv_dim+1
+        # (dis_seg/networks2.py:335), so the stack widens to 130/260/...
+        dim = self.conv_dim + (1 if sege is not None else 0)
         for i in range(1, self.repeat_num):
             dim *= 2
             h = Conv(dim, 4, stride=2, padding=1, use_bias=True,

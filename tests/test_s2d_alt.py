@@ -253,3 +253,80 @@ def test_s2d_alt_train_step():
     me, visuals = model.eval_step(state, batch(9))
     assert all(np.isfinite(float(v)) for v in me.values())
     assert {"syn_seg_pre", "syn_dep_pre"} <= set(visuals)
+
+
+# ---------------------------------------------------------------------------
+# dis_seg / G2Blocks: the seg-label-conditioned feature discriminator
+# ---------------------------------------------------------------------------
+
+def test_seg_conditioned_discriminator_matches_reference():
+    """DropDiscriminator(sege=...) vs the reference dis_seg Discriminator
+    (dis_seg/networks2.py:331-354: nearest x0.5 label downsample, concat in
+    front) at matched init; also the G2Blocks repeat_num=3 shape."""
+    import importlib.util
+
+    from cycle_depth_estimation_tpu.models.s2d_networks import (
+        DropDiscriminator,
+    )
+    from cycle_depth_estimation_tpu.utils.torch_import import (
+        import_drop_discriminator,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "networks2_dis_seg_test",
+        "/root/reference/my_seg_depth/dis_seg/networks2.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    for repeat_num in (4, 3):  # dis_seg default / G2Blocks delta
+        torch.manual_seed(repeat_num)
+        d_t = ref.Discriminator(conv_dim=16, repeat_num=repeat_num).eval()
+        vs = jax.tree.map(jnp.asarray, import_drop_discriminator(
+            {k: v.numpy() for k, v in d_t.state_dict().items()}, repeat_num))
+        feats = RNG.randn(1, 16, 32, 48).astype(np.float32)
+        sege = RNG.randint(0, 28, (1, 1, 64, 96)).astype(np.float32)
+        with torch.no_grad():
+            ty = d_t(torch.from_numpy(feats), torch.from_numpy(sege))
+        oy = DropDiscriminator(conv_dim=16, repeat_num=repeat_num).apply(
+            vs, jnp.asarray(feats.transpose(0, 2, 3, 1)),
+            jnp.asarray(sege.transpose(0, 2, 3, 1)), train=False)
+        assert np.asarray(oy).shape == tuple(ty.shape)
+        np.testing.assert_allclose(np.asarray(oy), ty.numpy(), atol=2e-5,
+                                   rtol=1e-4)
+
+
+def test_s2d_base_dis_seg_train_step():
+    """S2D_base with --dis_seg --d_repeat_num 3: the label-conditioned D
+    threads through the G and D phases; finite metrics, D params move."""
+    from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
+    from cycle_depth_estimation_tpu.models import create_model
+
+    cfg = apply_model_defaults(Config(model="S2D_base", batch_size=1,
+                                      dis_seg=True, d_repeat_num=3,
+                                      dense_block_config=[1, 1, 1, 1],
+                                      g1_blocks=1, ndf=16))
+    model = create_model(cfg)
+    h, w = 64, 96
+    state = model.init_state_at(jax.random.key(0), h, w)
+    p0 = jax.tree.map(np.asarray, state.params["Dis_en"])
+    # conditioned first conv: G_1's 64 feature channels + 1 label channel
+    first = state.params["Dis_en"]["conv1"]["kernel"]
+    assert first.shape[2] == 65
+
+    def batch(j):
+        r = np.random.RandomState(j)
+        return {
+            "img_syn": jnp.asarray(r.randn(1, h, w, 3), jnp.float32) * 0.5,
+            "img_real": jnp.asarray(r.randn(1, h, w, 3), jnp.float32) * 0.5,
+            "seg_l_syn": jnp.asarray(r.randint(0, 28, (1, h, w)), jnp.int32),
+            "seg_l_real": jnp.asarray(r.randint(0, 28, (1, h, w)), jnp.int32),
+            "dep_l_syn": jnp.asarray(r.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+        }
+
+    for i in range(2):
+        state, metrics = model.train_step(state, batch(i), jax.random.key(i))
+    metrics = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    after = jax.tree.map(np.asarray, state.params["Dis_en"])
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(after)))
