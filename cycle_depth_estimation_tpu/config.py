@@ -127,7 +127,7 @@ class Config:
     # depth — G2Blocks trains repeat_num 3 instead of 4
     # (G2Blocks/networks2.py:332)
     dis_seg: bool = False
-    d_repeat_num: Optional[int] = None
+    d_repeat_num: int = 4  # plain int: Optional[int] would CLI-parse as str
     # rf_lw syn-branch adapter path: None keeps the driver default ('real',
     # mdoel6.py:470 / model7.py:397 pass no type); 'syn' selects the
     # model_ins-style per-domain split (reference model_ins.py:487)

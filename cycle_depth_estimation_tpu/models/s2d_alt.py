@@ -2,7 +2,9 @@
 
 TPU-native re-design of the single-file Seg_Depth model embedded in
 reference my_seg_depth/train.py:221-409 (driven by my_seg_depth/networks.py
-— the `Feature_net`/`PSPModule` track, SURVEY §2.2 row 29's "alt pipeline"):
+— the `Feature_net`/`PSPModule` track, SURVEY §2.2 row 29's "alt pipeline";
+my_seg_depth/model.py:178-342 is an earlier standalone copy of the same
+model over the same networks.py nets):
 two CycleGAN-style BatchNorm encoders (`GBase` — G_1 for syn, G_2 for real)
 map both domains to a shared 128-ch feature space at 1/4 resolution; a
 `DropDiscriminator` aligns the domains there; a stemless DenseNet

@@ -57,7 +57,7 @@ class S2DBaseModel(BaseModel):
         # define_D :589-601) — NOT the PatchGAN _Discriminator of later
         # generations.
         self.net_Dis_en = DropDiscriminator(conv_dim=cfg.ndf,
-                                            repeat_num=cfg.d_repeat_num or 4,
+                                            repeat_num=cfg.d_repeat_num,
                                             dtype=dt)
         self.net_Seg_de = SEG2(n_cls=28, dtype=dt)
         self.net_Dep_de = DEP2(dtype=dt)
