@@ -35,6 +35,9 @@ MEASURED = {
     "generator_int8_fused": 1407.0,
     "cycle_gan_train_bf16": 41.5,
     "s2d_train_bf16": 7.16,
+    "s2d_base_train_bf16": 10.48,
+    "semantic_trans_train_bf16": 6.42,
+    "rf_lw_train_bf16": 15.9,
 }
 
 
@@ -77,18 +80,21 @@ def flops_cycle_gan():
     return _flops(lowered) / batch
 
 
-def flops_s2d():
+def flops_try_family(model_name: str, batch: int):
+    """Any try-family (576×192) train step's HLO flops per image."""
     import jax
 
     from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
     from cycle_depth_estimation_tpu.models import create_model
 
-    batch = 2
-    cfg = apply_model_defaults(Config(model="S2D", batch_size=batch,
+    cfg = apply_model_defaults(Config(model=model_name, batch_size=batch,
                                       dtype="bfloat16"))
     model = create_model(cfg)
-    state = model.init_state(jax.random.key(0), hw=(192, 576))
     h, w = 192, 576
+    if hasattr(model, "init_state_at"):
+        state = model.init_state_at(jax.random.key(0), h, w)
+    else:
+        state = model.init_state(jax.random.key(0), hw=(h, w))
     b = {
         "img_syn": np.zeros((batch, h, w, 3), np.float32),
         "img_real": np.zeros((batch, h, w, 3), np.float32),
@@ -96,6 +102,8 @@ def flops_s2d():
         "seg_l_real": np.zeros((batch, h, w), np.int32),
         "dep_l_syn": np.zeros((batch, h, w, 1), np.float32),
         "depth_l_s": np.zeros((batch, h, w, 4), np.float32),
+        "seg_e_syn": np.zeros((batch, h, w, 1), np.float32),
+        "seg_e_real": np.zeros((batch, h, w, 1), np.float32),
     }
     lowered = jax.jit(model._step_train).lower(state, b, jax.random.key(1))
     return _flops(lowered) / batch
@@ -104,7 +112,8 @@ def flops_s2d():
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["generator", "cycle_gan", "s2d"])
+                    choices=["generator", "cycle_gan", "s2d", "s2d_base",
+                             "semantic_trans", "rf_lw"])
     ap.add_argument("--rate", nargs="*", default=[],
                     metavar="NAME=IMG_PER_S",
                     help="override a measured rate, e.g. s2d_train_bf16=7.3")
@@ -128,9 +137,14 @@ def main(argv=None):
     if "cycle_gan" not in args.skip:
         rows.append(("cycle_gan_train_bf16", flops_cycle_gan(),
                      rates["cycle_gan_train_bf16"], V5E_BF16_PEAK))
-    if "s2d" not in args.skip:
-        rows.append(("s2d_train_bf16", flops_s2d(),
-                     rates["s2d_train_bf16"], V5E_BF16_PEAK))
+    for key, model_name, batch in (("s2d", "S2D", 2),
+                                   ("s2d_base", "S2D_base", 1),
+                                   ("semantic_trans", "semantic_trans", 1),
+                                   ("rf_lw", "rf_lw", 2)):
+        if key not in args.skip:
+            rows.append((f"{key}_train_bf16",
+                         flops_try_family(model_name, batch),
+                         rates[f"{key}_train_bf16"], V5E_BF16_PEAK))
 
     out = {}
     print(f"{'config':26s} {'GFLOP/img':>10s} {'img/s':>8s} "
