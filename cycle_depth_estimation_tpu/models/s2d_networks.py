@@ -449,12 +449,12 @@ class RDep(nn.Module):
 # ---------------------------------------------------------------------------
 # semantic_trans-generation refiner heads (the snapshot between trymulti and
 # new_multi keeps its own G_side/depth_block/seg_block/R_dep variants —
-# reference my_seg_depth/trymulti/semantic_trans/networks5_ds.py:495-695)
+# reference my_seg_depth/trymulti/semantic_trans/networks5_ds.py:496-695)
 # ---------------------------------------------------------------------------
 
 
 class GSideST(nn.Module):
-    """semantic_trans G_side (semantic_trans/networks5_ds.py:495-521):
+    """semantic_trans G_side (semantic_trans/networks5_ds.py:496-521):
     channel attention from the deep feature gates the projected skip
     feature; CONCAT with the deep feature, compress back to df_c. Unlike
     the new_multi `GSide` it does not halve channels or upsample — the
@@ -542,7 +542,7 @@ class SegBlockST(nn.Module):
 
 
 class RDepST(nn.Module):
-    """semantic_trans R_dep (semantic_trans/networks5_ds.py:600-695):
+    """semantic_trans R_dep (semantic_trans/networks5_ds.py:601-695):
     4-level top-down refiner. Each level: GSideST fuses the trunk skip into
     the running deep feature, DepthBlockST upsamples it (×2) emitting 4 band
     depths + a (edge, depth) ``sed`` pair, and SegBlockST chains seg

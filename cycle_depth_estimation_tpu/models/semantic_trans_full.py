@@ -13,30 +13,30 @@ One jitted train step contains the reference's 7-phase round-robin
 
 1. **G_1 update** (backward_G_1, model5.py:625-652): G_1(syn)→G_2('S')→
    Seg_de; syn seg CE + 3× LSGAN(Dis0_en(features1), real).
-2. **G_2 update** (backward_G_2, :654-698): real branch G_2('R')→Seg_de seg
+2. **G_2 update** (backward_G_2, :653-693): real branch G_2('R')→Seg_de seg
    CE (+ a Dep_de visual forward on the detached features); syn branch on
    the DETACHED G_1 output: seg CE + 5× LSGAN(Dis0_en, real). The branch
    features are carried to later phases as the reference stores them on
    ``self``.
-3. **Seg_de update** (backward_Seg, :449-477): real seg CE; the syn-side
+3. **Seg_de update** (backward_Seg, :450-481): real seg CE; the syn-side
    LSGAN term is computed on DETACHED features with a frozen Dis0_en, so it
    contributes value but ZERO gradient — transcribed as-is.
-4. **Dep_de update** (backward_Dep, :617-623): L1 on the syn depth.
-5. **R_D real update** (backward_R_D, :540-559 first half): per-scale edge
+4. **Dep_de update** (backward_Dep, :617-624): L1 on the syn depth.
+5. **R_D real update** (backward_R_D, :524-559 real half): per-scale edge
    BCE with the reference's ``se = se + se + bce`` doubling quirk (the
    3-scale edges end up weighted 4/2/1 and counted twice via
    ``seg_loss_real = se + CE``), last-scale-only seg CE, and
    0.2·LSGAN(Dis_160, fake) + LSGAN(Dis_320, fake) feature alignment on the
    band-1 depth slices.
-6. **R_D syn update** (:560-608 second half): Σ edge BCE + Σ seg CE +
+6. **R_D syn update** (:560-613 syn half): Σ edge BCE + Σ seg CE +
    10× L1 of the full-res refined depth. (The BCEDepLoss band terms are
    computed but commented OUT of the loss at model5.py:605 — not run here.)
-7. **Discriminator updates** (backward_D :510-538 + backward_DISDEP
-   :480-508): Dis0_en on fresh detached features (syn=fake/real=true);
+7. **Discriminator updates** (backward_D :384-431 + backward_DISDEP
+   :483-522): Dis0_en on fresh detached features (syn=fake/real=true);
    DIS on (refined depth, seg label) pairs; Dis_160/320 on the stashed
    depth slices with grad-norm clipping at 1.0. ``Dis_80`` is constructed
    with an allocated optimizer but never stepped — reproduced. The WGAN-GP
-   ``backward_DIS`` (:433-447) references undefined attributes and cannot
+   ``backward_DIS`` (:432-448) references undefined attributes and cannot
    run in the reference — its `calc_gradient_penalty` lives (tested) in
    models/semantic_trans.py and s2d_networks.calc_gradient_penalty.
 
@@ -100,7 +100,7 @@ class SemanticTransFull(BaseModel):
         self.net_Dis_160 = StarDiscriminator(repeat_num=4, dtype=dt)
         self.net_Dis_320 = StarDiscriminator(repeat_num=4, dtype=dt)
         lr, b1 = cfg.lr, cfg.beta1
-        clipped = lambda: optax.chain(  # noqa: E731  (model5.py:505,517)
+        clipped = lambda: optax.chain(  # noqa: E731  (model5.py:509,517)
             optax.clip_by_global_norm(1.0), make_adam(lr / 4, b1))
         self.opts = {
             "G_1": make_adam(lr / 2, b1), "G_2": make_adam(lr / 2, b1),
@@ -155,7 +155,7 @@ class SemanticTransFull(BaseModel):
     def _band1(sed, factor: int):
         """The per-scale depth slice ``sed[:,1]`` at 1/factor resolution
         (torch UpsamplingBilinear2d(scale_factor=1/factor) ⇒
-        align_corners=True; model5.py:541-542,587-589)."""
+        align_corners=True; model5.py:541-542,588-589)."""
         b = sed[..., 1:2]
         if factor == 1:
             return b
@@ -211,7 +211,7 @@ class SemanticTransFull(BaseModel):
                 self.net_Seg_de, params["Seg_de"], stats["Seg_de"], rf1,
                 train=True)
             loss_seg = cross_entropy_loss(seg_r, real_seg_l, 255)
-            # Dep_de visual forward on detached features (model5.py:664-668)
+            # Dep_de visual forward on detached features (model5.py:663-667)
             dep_r, s_dep = self._apply(self.net_Dep_de, params["Dep_de"],
                                        stats["Dep_de"], sg(rf2), train=True)
             (sf1, sF), s = self._apply(self.net_G_2, g2p, s, ss, "S",
@@ -246,7 +246,7 @@ class SemanticTransFull(BaseModel):
                 self.net_Seg_de, segp, s_seg, real_f1, train=True)
             loss_real = cross_entropy_loss(seg_r, real_seg_l, 255)
             # frozen-D LSGAN on DETACHED features: contributes value only,
-            # zero gradient — exactly the reference (model5.py:466-476)
+            # zero gradient — exactly the reference (model5.py:462-479)
             pre_s, s_d0 = self._apply(self.net_Dis0_en, params["Dis0_en"],
                                       stats["Dis0_en"], sg(f2s), train=True)
             loss = loss_real + gan_loss(pre_s, True)
@@ -274,11 +274,11 @@ class SemanticTransFull(BaseModel):
                 self.net_R_D, rdp, stats["R_D"], real_F, real_f1, train=True)
             se = jnp.zeros((), jnp.float32)
             for sed in seds:
-                # reference accumulation quirk (model5.py:545-546):
+                # reference accumulation quirk (model5.py:534-535):
                 # se = se + se + bce → scales weighted 4/2/1
                 se = se + se + _bce(sed[..., 0], real_seg_le)
             # seg_loss_real is overwritten each iteration → last scale only,
-            # plus a second copy of the edge sum (model5.py:547-548)
+            # plus a second copy of the edge sum (model5.py:536-537)
             seg_loss = se + cross_entropy_loss(segs[2], real_seg_l, 255)
             d160, _ = self._apply(self.net_Dis_160, params["Dis_160"], {},
                                   self._band1(seds[0], 4), train=True)
@@ -308,7 +308,7 @@ class SemanticTransFull(BaseModel):
                 seg = seg + cross_entropy_loss(sg_, syn_seg_l, 255)
             dep_ref = l1_loss(seds[2][..., 1:2], syn_dep_l)
             # the BCEDepLoss band terms are computed but commented OUT of
-            # the loss in the reference (model5.py:573-586, 605) — not run
+            # the loss in the reference (model5.py:567-584, 594) — not run
             loss = 10.0 * dep_ref + se + seg
             return loss, (seds, dep_ref, s_rd)
 
@@ -373,7 +373,7 @@ class SemanticTransFull(BaseModel):
                 pr, _ = self._apply(net, dp, {}, r, train=True)
                 pf, _ = self._apply(net, dp, {}, f, train=True)
                 # the reference LOGS both sides against the real target
-                # (model5.py:496-505) while stepping real-True/syn-False
+                # (model5.py:506-507,514-515) while stepping real-True/syn-False
                 return (gan_loss(pr, True) + gan_loss(pf, False),
                         (gan_loss(pr, True), gan_loss(pf, True)))
 

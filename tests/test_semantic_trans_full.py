@@ -144,7 +144,7 @@ def _batch(j, h, w):
 def test_semantic_trans_full_train_step():
     """Full 7-phase step on a tiny DenseNet config: finite metrics, every
     trained net's params move, Dis_80 stays untouched (constructed but never
-    stepped — model5.py:253-283 vs 480-519)."""
+    stepped — model5.py:253-283 vs 483-522)."""
     cfg = apply_model_defaults(Config(model="semantic_trans_full",
                                       batch_size=1,
                                       dense_block_config=[1, 1, 1, 1]))
