@@ -10,28 +10,28 @@ map both domains to a shared 128-ch feature space at 1/4 resolution; a
 `DropDiscriminator` aligns the domains there; a stemless DenseNet
 `FeatureNet` + PSP head feeds the alternate `SEGAlt`/`DEPAlt` skip decoders.
 
-One jitted train step contains the reference loop (train.py:348-409):
+One jitted train step contains the reference loop (train.py:344-409):
 
-1. **G_1 + G_2 update** (forward + backward_G, :287-302,336-345): the
+1. **G_1 + G_2 update** (forward + backward_G, :287-289,326-346,356-366): the
    stored features feed D and the frozen Feature/Seg chain;
    ``loss_G1 = GAN(D(syn_f), real) + CE(seg_syn)`` steps G_1 and
    ``loss_G2 = GAN(D(real_f), fake) + CE(seg_real)`` steps G_2 — the two
    losses share no parameters, so one grad of their sum over {G_1, G_2}
    reproduces the reference's two separate backwards exactly.
-2. **Feature update** (:367-375): ``5×(CE(seg_syn)+CE(seg_real)) + L1(dep)``
+2. **Feature update** (:368-377): ``5×(CE(seg_syn)+CE(seg_real)) + L1(dep)``
    through fresh Feature forwards on the detached stored features. (The
    reference's ``detach_list`` is a NO-OP — it rebinds the loop variable —
    so its Seg/Dep losses really do reach Feature; functionally we simply
    differentiate wrt Feature params.)
-3. **Seg update** (:377-385): CE(syn)+CE(real) through ANOTHER fresh
+3. **Seg update** (:379-387): CE(syn)+CE(real) through ANOTHER fresh
    Feature forward pair (stats update again, as the reference recomputes).
-4. **Dep update** (:387-396): L1 through one more fresh Feature forward.
-5. **D update** (backward_D, :297-302): syn→fake, real→true on the detached
+4. **Dep update** (:389-397): L1 through one more fresh Feature forward.
+5. **D update** (backward_D, :297-302 at :399-409): syn→fake, real→true on the detached
    stored features. Dropout2d in D stays ACTIVE in every training forward
    (the reference never switches it to eval).
 
 Optimizers: Adam(lr) for G_1/G_2/Feature/Seg/Dep, Adam(lr_D) for D
-(train.py:258-270). The two ImagePools the reference constructs are never
+(train.py:258-271). The two ImagePools the reference constructs are never
 queried in its loop — not instantiated here.
 """
 
@@ -155,7 +155,7 @@ class S2DAltModel(BaseModel):
         metrics["G1_dis"], metrics["G2_dis"] = auxg["g1_dis"], auxg["g2_dis"]
         metrics["G1_seg"], metrics["G2_seg"] = auxg["g1_seg"], auxg["g2_seg"]
 
-        # ====== phase 2: Feature (5×Seg + Dep, :367-375) ======
+        # ====== phase 2: Feature (5×Seg + Dep, :368-377) ======
         def f_loss_fn(fp):
             (sF, spsp), s_f = feature(fp, stats["Feature"], sf1)
             (rF, rpsp), s_f = feature(fp, s_f, rf1)
@@ -165,7 +165,7 @@ class S2DAltModel(BaseModel):
                                    stats["Seg_de"], rF, rpsp, train=True)
             loss_s = (cross_entropy_loss(seg_s, syn_seg_l, 255)
                       + cross_entropy_loss(seg_r, real_seg_l, 255))
-            # backward_Dep re-runs Feature on the syn features (:387-390)
+            # backward_Dep re-runs Feature on the syn features (:320-324)
             (sF2, spsp2), s_f = feature(fp, s_f, sf1)
             dep_s, _ = self._apply(self.net_Dep_de, params["Dep_de"],
                                    stats["Dep_de"], sF2, spsp2, train=True)
@@ -179,7 +179,7 @@ class S2DAltModel(BaseModel):
         params["Feature"] = optax.apply_updates(params["Feature"], upd)
         stats["Feature"] = s_f
 
-        # ====== phase 3: Seg_de (:377-385) ======
+        # ====== phase 3: Seg_de (:379-387) ======
         def seg_loss_fn(segp):
             (sF, spsp), s_f = feature(params["Feature"], stats["Feature"], sf1)
             (rF, rpsp), s_f = feature(params["Feature"], s_f, rf1)
@@ -201,7 +201,7 @@ class S2DAltModel(BaseModel):
         metrics["acc_syn"] = seg_accuracy(seg_s, syn_seg_l, 255)
         metrics["acc_real"] = seg_accuracy(seg_r, real_seg_l, 255)
 
-        # ====== phase 4: Dep_de (:387-396) ======
+        # ====== phase 4: Dep_de (:389-397) ======
         def dep_loss_fn(depp):
             (sF, spsp), s_f = feature(params["Feature"], stats["Feature"], sf1)
             dep_s, _ = self._apply(self.net_Dep_de, depp, stats["Dep_de"],
