@@ -737,7 +737,7 @@ def _gside_st(sd: Mapping[str, np.ndarray], prefix: str):
 
 def import_rdep_st(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Import a semantic_trans-generation ``R_dep`` state dict
-    (semantic_trans/networks5_ds.py:600-695, saved as ``<iter>_net_R_D.pth``
+    (semantic_trans/networks5_ds.py:601-695, saved as ``<iter>_net_R_D.pth``
     by that snapshot) into `models.s2d_networks.RDepST` variables.
 
     Dead declared-but-unused reference submodules (``up0``, ``dep_out``,
