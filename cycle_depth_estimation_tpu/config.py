@@ -128,6 +128,13 @@ class Config:
     # (G2Blocks/networks2.py:332)
     dis_seg: bool = False
     d_repeat_num: int = 4  # plain int: Optional[int] would CLI-parse as str
+    # S2D_df (model3 generation) knobs — defaults are the deeperfeatures
+    # snapshot; the sibling snapshots' weights are reachable:
+    # dilated/model3.py:468,509-517 → --df_adv_w 5 --df_g1_adv;
+    # trymulti/model3.py:441 → --df_d_real_w 0.2
+    df_adv_w: float = 2.0
+    df_g1_adv: bool = False
+    df_d_real_w: float = 1.0
     # rf_lw syn-branch adapter path: None keeps the driver default ('real',
     # mdoel6.py:470 / model7.py:397 pass no type); 'syn' selects the
     # model_ins-style per-domain split (reference model_ins.py:487)
@@ -192,6 +199,7 @@ MODEL_DEFAULTS = {
     "rf_lw": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "rf_lw7": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "S2D_df": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_alt": dict(dataset_mode="try", batch_size=1, fine_size=192,
                     net_g="3blocks"),
 }

@@ -1294,3 +1294,143 @@ class DiscriminatorSeg(nn.Module):
         h = Conv(self.n_cls, 1, use_bias=False, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
         return nn.leaky_relu(h, 0.01)
+
+
+# ---------------------------------------------------------------------------
+# deeperfeatures "model3" generation (SURVEY rows 30-31): dual General_net
+# encoders + skip-free ladder decoders + a norm-free seg-feature critic
+# ---------------------------------------------------------------------------
+
+
+class SEGDF(nn.Module):
+    """deeperfeatures-generation SEG decoder
+    (my_seg_depth/deeperfeatures/networks2.py:532-560; identical copy at
+    dilated/networks2.py): skip-FREE ladder of ReLU DeconvBlocks
+    1024→512→256→128→64 over the General_net psp output, a 1×1 class head,
+    and a BatchNorm+LeakyReLU "activation_seg". Returns
+    ``(seg activation, first-up 512-ch features)`` — the torch forward's
+    ``S[5], S[1]``; the 512-ch features feed both DEPDF and Dis2SegDF."""
+
+    n_cls: int = 28
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = x
+        f2 = None
+        for i, c in enumerate((512, 256, 128, 64)):
+            # this generation's DeconvBlock copy uses plain ReLU
+            # (deeperfeatures/networks2.py:24-43)
+            h = DeconvBlock(c, negative_slope=0.0, dtype=self.dtype,
+                            name=f"up{i}")(h, train=train)
+            if i == 0:
+                # the torch DeconvBlock's INPLACE ReLU (networks2.py:30,36)
+                # mutates the stored S[1] when Up[1] consumes it, so the
+                # features the reference returns (and DEP/Dis0_en consume)
+                # are post-ReLU
+                f2 = nn.relu(h)
+        h = Conv(self.n_cls, 1, use_bias=True, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        h = nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+        return h, f2
+
+
+class DEPDF(nn.Module):
+    """deeperfeatures-generation DEP decoder
+    (my_seg_depth/deeperfeatures/networks2.py:563-610): a growth-36 DenseNet
+    prefix over the 512-ch SEG features (DenseBlock(8)→Transition(→400)→
+    DenseBlock(18) ⇒ 1048 ch at half the feature resolution), then four ReLU
+    DeconvBlocks each fed the two raw ``ordimat`` coordinate channels
+    (networks2.py:448-462), a 1×1 head, and tanh."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = DenseBlock(8, 36, 4, dtype=self.dtype, name="block0")(
+            x, train=train)
+        h = Transition(400, self.dtype, name="trans0")(h, train=train)
+        h = DenseBlock(18, 36, 4, dtype=self.dtype, name="block1")(
+            h, train=train)
+        for i, c in enumerate((512, 256, 128, 64)):
+            n, hh, ww, _ = h.shape
+            h = jnp.concatenate(
+                [h, ordimat((n, hh, ww)).astype(h.dtype)], -1)
+            h = DeconvBlock(c, negative_slope=0.0, dtype=self.dtype,
+                            name=f"up{i}")(h, train=train)
+        h = Conv(1, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
+                 name="head")(h)
+        return jnp.tanh(h)
+
+
+class Dis2SegDF(nn.Module):
+    """deeperfeatures-generation Discriminator2_seg
+    (my_seg_depth/deeperfeatures/networks2.py:499-531): a pure 1×1 channel-
+    halving ladder with LeakyReLU(0.01), a bias-free 1×1 head, and sigmoid —
+    NO norm layers and stride 1 throughout (unlike the networks5_ds
+    ``Discriminator2Seg`` above). Criticises the 512-ch SEG features; its
+    sigmoid outputs are trained with MSE (this generation's GANLoss is
+    hardcoded to MSELoss, networks2.py:645-665)."""
+
+    conv_dim: int = 512
+    repeat_num: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        dim = self.conv_dim
+        for i in range(self.repeat_num):
+            dim //= 2
+            h = Conv(dim, 1, use_bias=True, kernel_init=normal02,
+                     dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.leaky_relu(h, 0.01)
+        h = Conv(1, 1, use_bias=False, kernel_init=normal02,
+                 dtype=self.dtype, name="head")(h)
+        return nn.sigmoid(h)[..., 0]
+
+
+def real_dep_loss(seg_p: jax.Array, seg_l: jax.Array, dep_p: jax.Array,
+                  dep_l: jax.Array) -> jax.Array:
+    """model3's pseudo-label real-branch depth term
+    (deeperfeatures/model3.py:472-483; same body in dilated/new_depseg/
+    trymulti/semantic_trans model3.py): mask = (argmax of the REAL seg
+    prediction == the SYN label map), then L1 between the masked REAL depth
+    prediction and the masked SYN depth label — cross-domain exactly as
+    written. Every input is detached in the reference, so the term carries
+    no gradient (it only reports); callers pass it through stop_gradient
+    context accordingly. The reference multiplies NCHW dep (N,1,H,W) with an
+    (N,H,W) mask — a cross-batch outer broadcast at batch>1 that its
+    batch-1 training never hits; we compute the batch-general per-sample
+    masking (documented divergence, PARITY.md)."""
+    seg_p = jax.lax.stop_gradient(seg_p).astype(jnp.float32)
+    pred = jnp.argmax(seg_p, -1).astype(jnp.float32)
+    mask = (pred == seg_l.astype(jnp.float32)).astype(jnp.float32)
+    dep_p = jnp.squeeze(dep_p, -1) if dep_p.ndim == 4 else dep_p
+    dep_l = jnp.squeeze(dep_l, -1) if dep_l.ndim == 4 else dep_l
+    dep_p = jax.lax.stop_gradient(dep_p).astype(jnp.float32)
+    dep_l = dep_l.astype(jnp.float32)
+    return jnp.mean(jnp.abs(mask * dep_p - mask * dep_l))
+
+
+# ---------------------------------------------------------------------------
+# style objectives (declared, never called live in the reference)
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(x: jax.Array) -> jax.Array:
+    """GramMatrix (networks5_ds.py:794-805; copy networks2.py:616-627):
+    flatten NHWC → (N·C, H·W) feature rows, G = F·Fᵀ / (N·C·H·W). Imported
+    by model5.py:6 / mdoel6.py:7 but only ever used in commented-out style
+    terms (semantic_trans/model3.py:534-551) — provided for completeness."""
+    n, h, w, c = x.shape
+    f = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, h * w)
+    f = f.astype(jnp.float32)
+    return (f @ f.T) / (n * c * h * w)
+
+
+def style_loss(x: jax.Array, target: jax.Array) -> jax.Array:
+    """StyleLoss (networks5_ds.py:807-817): MSE between Gram matrices."""
+    g = gram_matrix(x)
+    t = gram_matrix(target)
+    return jnp.mean(jnp.square(g - t))

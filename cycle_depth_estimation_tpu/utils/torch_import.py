@@ -887,3 +887,56 @@ def warm_start(target_vars: Dict[str, Any], donor_vars: Dict[str, Any]
         else:
             out[coll] = tree
     return out, n
+
+
+def import_seg_df(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a deeperfeatures-generation SEG decoder
+    (my_seg_depth/deeperfeatures/networks2.py:532-560, ``Seg_de`` of the
+    model3 variants) into our `models.s2d_networks.SEGDF` variables: the
+    skip-free Up.0-3 DeconvBlocks + the Up.4 1×1 class head + the
+    activation BN. (Each torch DeconvBlock instantiates an unused ``bn`` —
+    batch_norm=False — whose entries are skipped.)"""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(4):
+        params[f"up{i}"] = {
+            "deconv": _conv_entry(sd, f"Up.{i}.deconv", transposed=True)}
+    params["head"] = _conv_entry(sd, "Up.4")
+    params["act_norm"], stats["act_norm"] = _bn(sd, "activation_seg.0")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_dep_df(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Import a deeperfeatures-generation DEP decoder
+    (my_seg_depth/deeperfeatures/networks2.py:563-610, ``Dep_de`` of the
+    model3 variants) into our `models.s2d_networks.DEPDF` variables:
+    features.0/2 growth-36 DenseBlocks, features.1 Transition, the
+    ordimat-fed Up.0-3 DeconvBlocks and the Up.4 1×1 head."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["block0"], stats["block0"] = _dense_block(sd, "features.0", 8)
+    tp: Dict[str, Any] = {"conv": _conv_entry(sd, "features.1.conv")}
+    ts: Dict[str, Any] = {}
+    tp["norm"], ts["norm"] = _bn(sd, "features.1.norm")
+    params["trans0"], stats["trans0"] = tp, ts
+    params["block1"], stats["block1"] = _dense_block(sd, "features.2", 18)
+    for i in range(4):
+        params[f"up{i}"] = {
+            "deconv": _conv_entry(sd, f"Up.{i}.deconv", transposed=True)}
+    params["head"] = _conv_entry(sd, "Up.4")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_dis2seg_df(sd: Mapping[str, np.ndarray],
+                      repeat_num: int = 3) -> Dict[str, Any]:
+    """Import a deeperfeatures-generation Discriminator2_seg
+    (my_seg_depth/deeperfeatures/networks2.py:499-531, ``Dis0_en`` of the
+    model3 variants) into our `models.s2d_networks.Dis2SegDF` variables:
+    main.{0,2,4} 1×1 convs + the bias-free conv1 head."""
+    sd = strip_module_prefix(dict(sd))
+    params: Dict[str, Any] = {
+        f"conv{i}": _conv_entry(sd, f"main.{2 * i}") for i in range(repeat_num)}
+    params["head"] = _conv_entry(sd, "conv1")
+    return {"params": params}
