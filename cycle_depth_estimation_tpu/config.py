@@ -200,6 +200,7 @@ MODEL_DEFAULTS = {
     "rf_lw7": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_base": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_df": dict(dataset_mode="try", batch_size=1, fine_size=192),
+    "S2D_nd": dict(dataset_mode="try", batch_size=1, fine_size=192),
     "S2D_alt": dict(dataset_mode="try", batch_size=1, fine_size=192,
                     net_g="3blocks"),
 }

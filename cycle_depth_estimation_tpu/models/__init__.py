@@ -23,7 +23,7 @@ def register_model(name: str):
 
 # model modules with registration side effects; extended as models land
 _MODEL_MODULES = ["cycle_gan", "pix2pix", "test_model", "seg_model", "seg_cycle",
-                  "s2d", "rf_lw", "s2d_base", "s2d_alt", "s2d_df",
+                  "s2d", "rf_lw", "s2d_base", "s2d_alt", "s2d_df", "s2d_nd",
                   "semantic_trans", "semantic_trans_full"]
 
 

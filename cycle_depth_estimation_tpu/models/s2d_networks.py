@@ -798,9 +798,14 @@ def ordimat(shape) -> jax.Array:
 
 class SEG(nn.Module):
     """SEG decoder (networks5_ds.py:866-890): 4 DeconvBlocks + 1×1 head +
-    BN/LeakyReLU; returns (seg, input features)."""
+    BN/LeakyReLU; returns (seg, input features).
+
+    ``negative_slope``: networks5_ds's DeconvBlock uses LeakyReLU(0.02)
+    (:74); the new_depseg generation's copy uses plain ReLU
+    (new_depseg/networks2.py:30) — pass 0.0 there."""
 
     n_cls: int = 28
+    negative_slope: float = 0.02
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -808,7 +813,8 @@ class SEG(nn.Module):
         chans = [512, 256, 128, 64]
         h = x
         for i, c in enumerate(chans):
-            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(h, train=train)
+            h = DeconvBlock(c, negative_slope=self.negative_slope,
+                            dtype=self.dtype, name=f"up{i}")(h, train=train)
         h = Conv(self.n_cls, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
         h = nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
@@ -817,8 +823,15 @@ class SEG(nn.Module):
 
 class DEP(nn.Module):
     """DEP decoder (networks5_ds.py:892-921): DeconvBlocks over features
-    concatenated with ordimat coordinate channels."""
+    concatenated with ordimat coordinate channels.
 
+    ``tanh_head``: the new_depseg generation's copy APPLIES its Tanh head
+    (new_depseg/networks2.py:571,590); networks5_ds comments it out — the
+    default False keeps the S2D/semantic_trans behavior. ``negative_slope``
+    as in SEG (new_depseg's DeconvBlock is plain ReLU)."""
+
+    tanh_head: bool = False
+    negative_slope: float = 0.02
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -828,9 +841,11 @@ class DEP(nn.Module):
         for i, c in enumerate(chans):
             n, hh, ww, _ = h.shape
             h = jnp.concatenate([h, ordimat((n, hh, ww)).astype(h.dtype)], -1)
-            h = DeconvBlock(c, dtype=self.dtype, name=f"up{i}")(h, train=train)
-        return Conv(1, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
-                    name="head")(h)
+            h = DeconvBlock(c, negative_slope=self.negative_slope,
+                            dtype=self.dtype, name=f"up{i}")(h, train=train)
+        h = Conv(1, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
+                 name="head")(h)
+        return jnp.tanh(h) if self.tanh_head else h
 
 
 # ---------------------------------------------------------------------------
@@ -1388,6 +1403,20 @@ class Dis2SegDF(nn.Module):
         h = Conv(1, 1, use_bias=False, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
         return nn.sigmoid(h)[..., 0]
+
+
+def bce_gan_loss(pred: jax.Array, target_is_real: bool) -> jax.Array:
+    """The my_seg_depth generations' GANLoss: plain BCELoss against expanded
+    0/1 labels — the constructor HARDCODES BCELoss regardless of
+    ``use_lsgan`` (new_depseg/networks2.py:626-650) — applied to
+    Discriminator_seg's LeakyReLU outputs (networks2.py:489-494). torch
+    BCELoss NaNs outside [0,1] (log of a negative) — a latent reference
+    hazard at exactly those leaky-negative outputs; we clamp to
+    [1e-7, 1-1e-7], exact torch parity inside the valid range (documented
+    divergence, PARITY.md)."""
+    p = jnp.clip(pred.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
+    t = 1.0 if target_is_real else 0.0
+    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
 
 
 def real_dep_loss(seg_p: jax.Array, seg_l: jax.Array, dep_p: jax.Array,

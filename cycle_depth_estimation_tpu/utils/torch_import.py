@@ -934,7 +934,11 @@ def import_dis2seg_df(sd: Mapping[str, np.ndarray],
     """Import a deeperfeatures-generation Discriminator2_seg
     (my_seg_depth/deeperfeatures/networks2.py:499-531, ``Dis0_en`` of the
     model3 variants) into our `models.s2d_networks.Dis2SegDF` variables:
-    main.{0,2,4} 1×1 convs + the bias-free conv1 head."""
+    main.{0,2,4} 1×1 convs + the bias-free conv1 head.
+
+    The 28-class ``Discriminator_seg`` (new_depseg/networks2.py:462-494,
+    ``Dis_en`` of the S2D_nd model) has the identical state-dict layout —
+    this importer loads it into `DiscriminatorSeg` as well."""
     sd = strip_module_prefix(dict(sd))
     params: Dict[str, Any] = {
         f"conv{i}": _conv_entry(sd, f"main.{2 * i}") for i in range(repeat_num)}
