@@ -135,6 +135,11 @@ class Config:
     df_adv_w: float = 2.0
     df_g1_adv: bool = False
     df_d_real_w: float = 1.0
+    # S2D_nd model3 "4dis" variant (new_depseg/model3.py, checkpoints/4dis):
+    # twin 256-ch-slice Discriminator2_seg critics with Adam and no WGAN-GP
+    # replacing model2's single 1024-ch SGD+GP Dis_en, the cal_DisL G_2
+    # adversarial term, and the 3× cross-domain real_dep_loss report
+    nd_4dis: bool = False
     # rf_lw syn-branch adapter path: None keeps the driver default ('real',
     # mdoel6.py:470 / model7.py:397 pass no type); 'syn' selects the
     # model_ins-style per-domain split (reference model_ins.py:487)

@@ -1385,10 +1385,17 @@ class Dis2SegDF(nn.Module):
     NO norm layers and stride 1 throughout (unlike the networks5_ds
     ``Discriminator2Seg`` above). Criticises the 512-ch SEG features; its
     sigmoid outputs are trained with MSE (this generation's GANLoss is
-    hardcoded to MSELoss, networks2.py:645-665)."""
+    hardcoded to MSELoss, networks2.py:645-665).
+
+    The new_depseg generation's copy (new_depseg/networks2.py:496-527,
+    ``Dis0_en``/``Dis1_en`` of its model3 "4dis" variant) is the same
+    ladder at ``conv_dim=256`` with a 28-channel head (its ``squeeze(1)``
+    is a no-op at 28 channels, so the full map is returned) — select with
+    ``head_ch=28``."""
 
     conv_dim: int = 512
     repeat_num: int = 3
+    head_ch: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -1400,9 +1407,10 @@ class Dis2SegDF(nn.Module):
             h = Conv(dim, 1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.leaky_relu(h, 0.01)
-        h = Conv(1, 1, use_bias=False, kernel_init=normal02,
+        h = Conv(self.head_ch, 1, use_bias=False, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
-        return nn.sigmoid(h)[..., 0]
+        h = nn.sigmoid(h)
+        return h[..., 0] if self.head_ch == 1 else h
 
 
 def bce_gan_loss(pred: jax.Array, target_is_real: bool) -> jax.Array:

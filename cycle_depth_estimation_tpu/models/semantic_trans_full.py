@@ -44,6 +44,14 @@ All optimizers are Adam lr/2 except DIS/Dis_80/160/320 at lr/4
 (model5.py:253-283). BatchNorm statistics thread through the reference's
 forward order; every net stays in batch-stat mode during training (the
 reference never calls .eval() inside optimize_parameters).
+
+Snapshot siblings: the directory's model2.py is a byte-identical copy of
+new_depseg/model2.py (covered by the registered `S2D_nd`), and its
+model3.py is the model5 precursor on the model3-family loop — R_dep +
+DIS/Dis_160/320 already in place, per-net lr ratios lr/2 vs model5's mix,
+3× (vs 1×) the Dis0_en syn term, and a dead GramMatrix import (provided as
+`gram_matrix`/`style_loss` with parity tests) — subsumed by this model;
+deltas documented here, not duplicated.
 """
 
 from __future__ import annotations

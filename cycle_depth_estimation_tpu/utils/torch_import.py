@@ -938,7 +938,10 @@ def import_dis2seg_df(sd: Mapping[str, np.ndarray],
 
     The 28-class ``Discriminator_seg`` (new_depseg/networks2.py:462-494,
     ``Dis_en`` of the S2D_nd model) has the identical state-dict layout —
-    this importer loads it into `DiscriminatorSeg` as well."""
+    this importer loads it into `DiscriminatorSeg` as well, and likewise
+    new_depseg's own ``Discriminator2_seg`` (networks2.py:496-527, the
+    ``Dis0_en``/``Dis1_en`` twin critics of the model3 "4dis" variant,
+    256-ch ladder + 28-ch head) into ``Dis2SegDF(head_ch=28)``."""
     sd = strip_module_prefix(dict(sd))
     params: Dict[str, Any] = {
         f"conv{i}": _conv_entry(sd, f"main.{2 * i}") for i in range(repeat_num)}
