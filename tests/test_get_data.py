@@ -33,6 +33,14 @@ def dataset_server(tmp_path):
         info.size = len(data)
         tf.addfile(info, io.BytesIO(data))
     (root / "horses.tar.gz").write_bytes(tbuf.getvalue())
+    # a pix2pix-style tar.gz under a name on the published list
+    fbuf = io.BytesIO()
+    with tarfile.open(fileobj=fbuf, mode="w:gz") as tf:
+        data = b"F"
+        info = tarfile.TarInfo("facades/train/1.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    (root / "facades.tar.gz").write_bytes(fbuf.getvalue())
     (root / "index.html").write_text(
         '<html><body><a href="maps.zip">maps.zip</a> '
         '<a href="horses.tar.gz">horses.tar.gz</a> '
@@ -90,3 +98,50 @@ def test_get_data_option_scrape():
     html = ('<a href="u">a.zip</a><a href="v">b.tar.gz</a>'
             '<a href="w">notes.txt</a><a>c.zip</a>')
     assert GetData._get_options(html) == ["a.zip", "b.tar.gz"]
+
+
+# --- tools/download_dataset.py: the download_*.sh CLI equivalents ---------
+
+
+def test_download_dataset_cyclegan_zip(dataset_server, tmp_path):
+    from tools.download_dataset import main
+    rc = main(["cyclegan", "maps", "--save_path", str(tmp_path / "ds"),
+               "--base_url", dataset_server])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "ds", "maps", "trainA",
+                                       "a.txt"))
+    assert not os.path.exists(os.path.join(tmp_path, "ds", "maps.zip"))
+
+
+def test_download_dataset_pix2pix_targz(dataset_server, tmp_path):
+    from tools.download_dataset import main
+    rc = main(["pix2pix", "facades", "--save_path", str(tmp_path / "ds"),
+               "--base_url", dataset_server])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "ds", "facades", "train",
+                                       "1.txt"))
+
+
+def test_download_dataset_rejects_unknown_name(capsys, tmp_path):
+    from tools.download_dataset import main
+    # reference shell behavior: list the published names, exit 1, no fetch
+    rc = main(["cyclegan", "nope", "--save_path", str(tmp_path / "ds")])
+    assert rc == 1
+    msg = capsys.readouterr().out
+    assert msg.startswith("Available datasets are: apple2orange,")
+    assert msg.strip().endswith("ae_photos")
+    rc = main(["pix2pix", "horse2zebra", "--save_path", str(tmp_path / "ds")])
+    assert rc == 1  # valid cyclegan name is still invalid for pix2pix
+    assert "night2day" in capsys.readouterr().out
+
+
+def test_download_dataset_local_archive(tmp_path):
+    from tools.download_dataset import main
+    zpath = tmp_path / "maps.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("maps/trainB/b.txt", "B")
+    rc = main(["cyclegan", "maps", "--save_path", str(tmp_path / "ds"),
+               "--archive", str(zpath)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "ds", "maps", "trainB",
+                                       "b.txt"))
