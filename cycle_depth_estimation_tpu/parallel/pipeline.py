@@ -35,7 +35,8 @@ def stack_stage_params(block_params: list, n_stages: int):
 
 
 def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
-                n_microbatches: int, axis: str = "stage") -> jax.Array:
+                n_microbatches: int, axis: str = "stage",
+                data_axis: str | None = None) -> jax.Array:
     """Run the stacked-block trunk as an S-stage GPipe over ``axis``.
 
     ``block_apply(params, h) -> h`` applies ONE block; ``stage_params`` comes
@@ -43,6 +44,11 @@ def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
     equal microbatches; activations flow stage→stage via ppermute. Bubble
     ticks recompute the last microbatch and are discarded on selection —
     harmless because ticks are independent.
+
+    ``data_axis`` composes DP with the pipeline on a 2-D
+    (``data_axis`` × ``axis``) mesh: each data slice shards the microbatch
+    batch dimension and runs its own pipeline replica (params replicated
+    over data, activations never cross the data axis — the dp×pp layout).
     """
     S = mesh.shape[axis]
     M = n_microbatches
@@ -50,10 +56,14 @@ def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
     assert B % M == 0, (B, M)
     xs = x.reshape((M, B // M) + x.shape[1:])
     T = M + S - 1
+    if data_axis:
+        assert (B // M) % mesh.shape[data_axis] == 0, (B, M,
+                                                       mesh.shape[data_axis])
+    batch_spec = P(None, data_axis) if data_axis else P()
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(axis), P()),
-        out_specs=P(), check_vma=False)
+        jax.shard_map, mesh=mesh, in_specs=(P(axis), batch_spec),
+        out_specs=batch_spec, check_vma=False)
     def run(params, xs):
         params = jax.tree.map(lambda l: l[0], params)  # [1,k,…] → [k,…]
         idx = jax.lax.axis_index(axis)

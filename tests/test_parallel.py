@@ -125,6 +125,33 @@ def test_gpipe_trunk_matches_sequential():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_gpipe_dp_trunk_matches_sequential():
+    """dp×pp: the same GPipe trunk on a ('data','stage') 2x4 mesh, with the
+    microbatch batch dimension sharded over 'data' (each data slice runs its
+    own pipeline replica) == sequential."""
+    from cycle_depth_estimation_tpu.models.networks import ResnetBlock
+    from cycle_depth_estimation_tpu.parallel.pipeline import (
+        gpipe_apply, stack_stage_params)
+
+    dim, L, S, M = 8, 8, 4, 4
+    block = ResnetBlock(dim)
+    x = jnp.asarray(np.random.RandomState(4).rand(8, 8, 8, dim), jnp.float32)
+    blocks = [block.init(jax.random.key(10 + i), x[:2])["params"]
+              for i in range(L)]
+
+    y_ref = x
+    for p in blocks:
+        y_ref = block.apply({"params": p}, y_ref)
+
+    mesh = make_mesh([2, S], axis_names=("data", "stage"))
+    stacked = stack_stage_params(blocks, S)
+    y_pp = gpipe_apply(
+        lambda p, h: block.apply({"params": p}, h), stacked, x, mesh,
+        n_microbatches=M, data_axis="data")
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_spatial_sharded_s2d_trunk_matches():
     """The flagship DenseNet trunk (GeneralNet, small config) with image
     height sharded over 'model' == unsharded — SP extends beyond the
