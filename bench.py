@@ -241,6 +241,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="generator",
                     choices=["generator", "S2D", "S2D_base", "S2D_alt",
+                             "S2D_df", "S2D_nd",
                              "semantic_trans", "semantic_trans_full", "rf_lw",
                              "rf_lw7", "cycle_gan"])
     ap.add_argument("--batch", type=int, default=None,
@@ -249,8 +250,9 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    if args.model in ("S2D", "S2D_base", "S2D_alt", "semantic_trans",
-                      "semantic_trans_full", "rf_lw", "rf_lw7"):
+    if args.model in ("S2D", "S2D_base", "S2D_alt", "S2D_df", "S2D_nd",
+                      "semantic_trans", "semantic_trans_full", "rf_lw",
+                      "rf_lw7"):
         main_s2d(args.batch or 1, args.remat, args.dtype, args.model)
     elif args.model == "cycle_gan":
         # explicit --batch is honored verbatim (review fix: 1 was silently
