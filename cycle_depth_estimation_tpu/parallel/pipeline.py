@@ -72,6 +72,13 @@ def gpipe_apply(block_apply, stage_params, x: jax.Array, mesh: Mesh,
             return jax.lax.scan(
                 lambda a, p: (block_apply(p, a), None), h, params)[0]
 
+        # blocks may compute in a different dtype than the input (bf16
+        # modules over f32 activations) — carry/buffers must match the
+        # block OUTPUT dtype or lax.scan rejects the carry at trace time
+        out_dtype = jax.eval_shape(
+            stage_fn, jax.ShapeDtypeStruct(xs[0].shape, xs.dtype)).dtype
+        xs = xs.astype(out_dtype)
+
         def tick(carry, t):
             act, ys = carry
             my_in = jnp.where(idx == 0, xs[jnp.minimum(t, M - 1)], act)

@@ -125,6 +125,34 @@ def test_gpipe_trunk_matches_sequential():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_gpipe_bf16_blocks_over_f32_input():
+    """Regression: bf16-compute blocks (the CLAUDE.md dtype convention) fed
+    f32 activations used to crash lax.scan with a carry-dtype mismatch —
+    the carry/buffers must follow the block OUTPUT dtype."""
+    from cycle_depth_estimation_tpu.models.networks import ResnetBlock
+    from cycle_depth_estimation_tpu.parallel.pipeline import (
+        gpipe_apply, stack_stage_params)
+
+    dim, L, S, M = 8, 4, 2, 2
+    block = ResnetBlock(dim, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(5).rand(4, 8, 8, dim), jnp.float32)
+    blocks = [block.init(jax.random.key(20 + i), x[:2])["params"]
+              for i in range(L)]
+
+    y_ref = x
+    for p in blocks:
+        y_ref = block.apply({"params": p}, y_ref)
+
+    mesh = make_mesh([S], axis_names=("stage",), devices=jax.devices()[:S])
+    y_pp = gpipe_apply(
+        lambda p, h: block.apply({"params": p}, h),
+        stack_stage_params(blocks, S), x, mesh, n_microbatches=M)
+    assert y_pp.dtype == y_ref.dtype
+    np.testing.assert_allclose(np.asarray(y_pp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_gpipe_dp_trunk_matches_sequential():
     """dp×pp: the same GPipe trunk on a ('data','stage') 2x4 mesh, with the
     microbatch batch dimension sharded over 'data' (each data slice runs its

@@ -64,14 +64,15 @@ def main(argv=None) -> int:
     names, index_url, suffix = TASKS[a.task]
     if a.dataset not in names:
         # the shell scripts' exact failure mode: list the options, exit 1
-        # (the cyclegan script's message moves ae_photos to the end and
-        # omits mini/mini_pix2pix — mirrored verbatim)
+        # (the cyclegan script's message moves ae_photos to the end, omits
+        # mini/mini_pix2pix, and has a colon the pix2pix script lacks —
+        # mirrored verbatim)
         if a.task == "cyclegan":
             shown = [n for n in names if n not in
                      ("ae_photos", "mini", "mini_pix2pix")] + ["ae_photos"]
+            print(f"Available datasets are: {', '.join(shown)}")
         else:
-            shown = list(names)
-        print(f"Available datasets are: {', '.join(shown)}")
+            print(f"Available datasets are {', '.join(names)}")
         return 1
 
     print(f"Specified [{a.dataset}]")
