@@ -19,10 +19,12 @@ One jitted train step contains the reference loop (train.py:344-409):
    losses share no parameters, so one grad of their sum over {G_1, G_2}
    reproduces the reference's two separate backwards exactly.
 2. **Feature update** (:368-377): ``5×(CE(seg_syn)+CE(seg_real)) + L1(dep)``
-   through fresh Feature forwards on the detached stored features. (The
-   reference's ``detach_list`` is a NO-OP — it rebinds the loop variable —
-   so its Seg/Dep losses really do reach Feature; functionally we simply
-   differentiate wrt Feature params.)
+   through fresh Feature forwards on the detached stored features. The
+   reference's ``detach_list`` is a NO-OP (it rebinds the loop variable) so
+   the losses reach Feature through the three dense-block skip features —
+   but ``inf.detach()`` (:312-313,321) is real: the PSP-head output path is
+   cut, so this phase never trains ``psp_head`` (we stop_gradient the psp
+   argument accordingly).
 3. **Seg update** (:379-387): CE(syn)+CE(real) through ANOTHER fresh
    Feature forward pair (stats update again, as the reference recomputes).
 4. **Dep update** (:389-397): L1 through one more fresh Feature forward.
@@ -156,19 +158,26 @@ class S2DAltModel(BaseModel):
         metrics["G1_seg"], metrics["G2_seg"] = auxg["g1_seg"], auxg["g2_seg"]
 
         # ====== phase 2: Feature (5×Seg + Dep, :368-377) ======
+        # backward_Seg/backward_Dep call the decoders as
+        # net_de(detach_list(f2), inf.detach()) (:312-313,321): detach_list
+        # is a no-op but inf.detach() is NOT — the PSP-head output path is
+        # CUT, so Feature's gradient flows only through the three
+        # dense-block skip features into the trans_ adapters; the psp_head
+        # params are never trained by this phase (review fix: they were).
         def f_loss_fn(fp):
             (sF, spsp), s_f = feature(fp, stats["Feature"], sf1)
             (rF, rpsp), s_f = feature(fp, s_f, rf1)
             seg_s, _ = self._apply(self.net_Seg_de, params["Seg_de"],
-                                   stats["Seg_de"], sF, spsp, train=True)
+                                   stats["Seg_de"], sF, sg(spsp), train=True)
             seg_r, _ = self._apply(self.net_Seg_de, params["Seg_de"],
-                                   stats["Seg_de"], rF, rpsp, train=True)
+                                   stats["Seg_de"], rF, sg(rpsp), train=True)
             loss_s = (cross_entropy_loss(seg_s, syn_seg_l, 255)
                       + cross_entropy_loss(seg_r, real_seg_l, 255))
             # backward_Dep re-runs Feature on the syn features (:320-324)
             (sF2, spsp2), s_f = feature(fp, s_f, sf1)
             dep_s, _ = self._apply(self.net_Dep_de, params["Dep_de"],
-                                   stats["Dep_de"], sF2, spsp2, train=True)
+                                   stats["Dep_de"], sF2, sg(spsp2),
+                                   train=True)
             loss_d = l1_loss(dep_s, syn_dep_l)
             return 5.0 * loss_s + loss_d, s_f
 

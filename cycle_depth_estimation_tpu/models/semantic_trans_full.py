@@ -230,9 +230,10 @@ class SemanticTransFull(BaseModel):
                                       stats["Dis0_en"], sf2, train=True)
             loss = (loss_seg + cross_entropy_loss(seg_s, syn_seg_l, 255)
                     + 5.0 * gan_loss(pre_s, True))
+            del dep_r  # visual-only in the reference; kept for BN stats
             aux = dict(s_g2=s, s_seg=s_seg, s_dep=s_dep, s_d0=s_d0,
                        sf1=sf1, sF=sF, rf1=rf1, rF=rF, seg_real=loss_seg,
-                       real_dep_pre=dep_r, seg_s=seg_s, seg_r=seg_r)
+                       seg_s=seg_s, seg_r=seg_r)
             return loss, aux
 
         loss_G2, aux2 = self._opt_step("G_2", g2_loss_fn, params, opt_states)
@@ -241,7 +242,6 @@ class SemanticTransFull(BaseModel):
         # carried branch features (reference stores them on self)
         syn_f1, syn_F = sg(aux2["sf1"]), [sg(f) for f in aux2["sF"]]
         real_f1, real_F = sg(aux2["rf1"]), [sg(f) for f in aux2["rF"]]
-        real_dep_pre = sg(aux2["real_dep_pre"])
         metrics["G2"] = loss_G2
         metrics["acc_syn"] = seg_accuracy(aux2["seg_s"], syn_seg_l, 255)
         metrics["acc_real"] = seg_accuracy(aux2["seg_r"], real_seg_l, 255)
@@ -260,7 +260,7 @@ class SemanticTransFull(BaseModel):
             loss = loss_real + gan_loss(pre_s, True)
             return loss, (loss_real, seg_s, seg_r, s_seg, s_d0)
 
-        loss_seg, (loss_seg_real, syn_seg_pre, real_seg_pre, s_seg, s_d0) = (
+        loss_seg, (loss_seg_real, _seg_s, _seg_r, s_seg, s_d0) = (
             self._opt_step("Seg_de", seg_loss_fn, params, opt_states))
         stats["Seg_de"], stats["Dis0_en"] = s_seg, s_d0
         metrics["seg_real"] = loss_seg_real

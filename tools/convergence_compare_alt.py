@@ -107,14 +107,17 @@ def run_torch(batches, seed=0):
         opts["G_2"].step()
         sf1, rf1 = sf1.detach(), rf1.detach()
 
-        # Feature update (train.py:367-375: 5×Seg + Dep, fresh forwards)
+        # Feature update (train.py:367-375: 5×Seg + Dep, fresh forwards);
+        # the reference passes inf.detach() (:312-313,321) — the PSP path
+        # is cut, Feature grads flow only via the skip features
         opts["Feature"].zero_grad()
         sF, spsp = nets["Feature"](sf1)
         rF, rpsp = nets["Feature"](rf1)
-        loss_s = (ce(nets["Seg_de"](list(sF), spsp), syn_seg_l)
-                  + ce(nets["Seg_de"](list(rF), rpsp), real_seg_l))
+        loss_s = (ce(nets["Seg_de"](list(sF), spsp.detach()), syn_seg_l)
+                  + ce(nets["Seg_de"](list(rF), rpsp.detach()), real_seg_l))
         sF2, spsp2 = nets["Feature"](sf1)
-        loss_d = tF.l1_loss(nets["Dep_de"](list(sF2), spsp2), syn_dep_l)
+        loss_d = tF.l1_loss(nets["Dep_de"](list(sF2), spsp2.detach()),
+                            syn_dep_l)
         (5 * loss_s + loss_d).backward()
         opts["Feature"].step()
 
