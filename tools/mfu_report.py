@@ -38,10 +38,8 @@ MEASURED = {
     "s2d_base_train_bf16": 10.48,
     "semantic_trans_train_bf16": 6.42,
     "rf_lw_train_bf16": 15.9,
-    # chip rates pending for the newest families (relay outage) — pass
-    # --rate s2d_df_train_bf16=... once measured; None = flops-only row
-    "s2d_df_train_bf16": None,
-    "s2d_nd_train_bf16": None,
+    "s2d_df_train_bf16": 16.5,
+    "s2d_nd_train_bf16": 17.68,
 }
 
 
