@@ -162,7 +162,16 @@ class Config:
                                     # activation memory of 6 G passes)
     seed: int = 0
     mesh_shape: Optional[List[int]] = None  # default: all devices on 'data'
+    mesh_axes: Optional[List[str]] = None   # names for --mesh_shape dims
+                                            # (default: data[, model[, stage]])
+    parallel: str = "dp"   # dp | sp (H over 'model') | tp (Megatron trunk);
+                           # pp is a library feature (parallel/pipeline.py)
+    zero: str = "off"      # off | opt (ZeRO-1: shard Adam moments over
+                           # 'data') | fsdp (params sharded too)
     prefetch_depth: int = 2
+    worker_procs: int = 0  # >0: multi-process loader (ProcessDataLoader) —
+                           # the reference's num_workers=8 analogue
+                           # (new_multi/try_data.py:436); 0 = thread pool
     tpu_precision: str = "default"  # 'default' | 'highest' (parity runs)
     # multi-host (SURVEY.md §2.3 DCN row): when coordinator_address is set,
     # train.py calls jax.distributed.initialize before any jax use; every
@@ -242,7 +251,8 @@ def parse_args(argv: Optional[List[str]] = None, is_train: bool = True) -> Confi
         else:
             typ = type(default) if default is not None else str
             if isinstance(default, list) or "List" in str(f.type):
-                parser.add_argument(flag, *aliases, dest=f.name, type=int,
+                elem = str if "str" in str(f.type) else int
+                parser.add_argument(flag, *aliases, dest=f.name, type=elem,
                                     nargs="*", default=None)
             else:
                 parser.add_argument(flag, *aliases, dest=f.name, type=typ,

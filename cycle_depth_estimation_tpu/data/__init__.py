@@ -69,11 +69,19 @@ def create_dataloader(cfg, phase: str = None, shuffle: bool = None):
     a sharded mesh axis and retriggers jit compilation of the train step on
     a single device (minutes over the axon relay). batch_size 1 keeps every
     sample (galleries/eval see the full dataset)."""
-    from .loader import DataLoader
+    from .loader import DataLoader, ProcessDataLoader
 
     ds = create_dataset(cfg, phase)
     if shuffle is None:
         shuffle = not cfg.serial_batches
+    if getattr(cfg, "worker_procs", 0) > 0:
+        # true multi-process loading (--worker_procs N): the reference's
+        # torch DataLoader(num_workers=8) analogue for feeding multi-chip DP
+        return ProcessDataLoader(ds, batch_size=cfg.batch_size,
+                                 shuffle=shuffle,
+                                 num_workers=cfg.worker_procs,
+                                 max_dataset_size=cfg.max_dataset_size,
+                                 seed=cfg.seed, drop_last=cfg.batch_size > 1)
     return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
                       num_workers=cfg.num_threads,
                       max_dataset_size=cfg.max_dataset_size, seed=cfg.seed,

@@ -88,12 +88,91 @@ class DataLoader:
             yield _stack_batch([f.result() for f in futs])
 
 
-def prefetch_to_device(iterator, mesh=None, depth: int = 2):
+_WORKER_DATASET = None
+_WORKER_EPOCH = None
+
+
+def _proc_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_worker_get(i: int, epoch: int):
+    global _WORKER_EPOCH
+    if _WORKER_EPOCH != epoch and hasattr(_WORKER_DATASET, "set_epoch"):
+        # epoch-dependent transforms (seeded crops/flips) were set on the
+        # PARENT's dataset copy; forked workers must follow
+        _WORKER_DATASET.set_epoch(epoch)
+        _WORKER_EPOCH = epoch
+    return _WORKER_DATASET[i]
+
+
+class ProcessDataLoader(DataLoader):
+    """Process-pool loader: the true ``num_workers=N`` analogue.
+
+    The thread loader above relies on PIL/numpy releasing the GIL; the
+    Python-level transform glue (remap LUTs, band splits, dict plumbing)
+    still serializes. This one forks ``num_workers`` OS processes (the
+    dataset is shipped once per worker at pool start, not per task) so the
+    WHOLE per-sample path runs in parallel — matching the reference's
+    multi-process torch DataLoader (reference new_multi/try_data.py:436,
+    num_workers=8). Cost: one result pickle per sample (a few MB/s at these
+    shapes — measured in tools/bench_loader.py).
+
+    Per-host in a multi-host DP job: each process runs its own
+    ProcessDataLoader; prefetch_to_device slices the per-process share.
+    """
+
+    def _make_pool(self):
+        import concurrent.futures
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # cheap dataset inheritance on linux
+        return concurrent.futures.ProcessPoolExecutor(
+            max_workers=self.num_workers, mp_context=ctx,
+            initializer=_proc_worker_init, initargs=(self.dataset,))
+
+    def __iter__(self):
+        if self._pool is None:
+            self._pool = self._make_pool()
+        idx = self._indices()
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        pending = []
+        bi = 0
+
+        def submit(b):
+            return [self._pool.submit(_proc_worker_get, int(i), self.epoch)
+                    for i in b]
+
+        while bi < len(batches) and len(pending) < 2:
+            pending.append(submit(batches[bi]))
+            bi += 1
+        while pending:
+            futs = pending.pop(0)
+            if bi < len(batches):
+                pending.append(submit(batches[bi]))
+                bi += 1
+            yield _stack_batch([f.result() for f in futs])
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+
+def prefetch_to_device(iterator, mesh=None, depth: int = 2,
+                       spatial_axis=None):
     """Double-buffered host→HBM transfer.
 
     Wraps a batch iterator; array leaves are `jax.device_put` (sharded over
     the mesh's ``data`` axis when a mesh is given) ``depth`` batches ahead of
     consumption. Non-array leaves (paths) pass through untouched.
+    ``spatial_axis`` additionally splits the H dim of rank-≥3 leaves over
+    that mesh axis (``--parallel sp``; see parallel/mesh.host_shard_batch).
     """
     import collections
 
@@ -119,7 +198,7 @@ def prefetch_to_device(iterator, mesh=None, depth: int = 2):
             arrays = {k: v[pi * (len(v) // pc):(pi + 1) * (len(v) // pc)]
                       for k, v in arrays.items()}
         if mesh is not None:
-            arrays = host_shard_batch(mesh, arrays)
+            arrays = host_shard_batch(mesh, arrays, spatial_axis=spatial_axis)
         else:
             arrays = {k: jax.device_put(v) for k, v in arrays.items()}
         return {**arrays, **others}

@@ -90,6 +90,13 @@ class ResnetGenerator(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Optional[Dtype] = None
+    #: up-stage architecture. 'convtranspose' is the reference topology
+    #: (models/networks.py:129-136 ConvTranspose2d k3 s2). 'resize_conv' is
+    #: the TPU-first fast-serving variant: nearest ×2 + dense 3×3 conv —
+    #: same FLOPs, but the conv is a plain dense MXU op (quantizable to
+    #: int8; the dilated/phase-decomposed int8 ConvTranspose measured
+    #: slower, models/quantization.py). NON-parity: train with it.
+    up_mode: str = "convtranspose"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -121,9 +128,15 @@ class ResnetGenerator(nn.Module):
 
         for i in range(n_down):
             mult = 2 ** (n_down - i)
-            h = ConvTranspose(self.ngf * mult // 2, 3, stride=2, padding=1,
-                              output_padding=1, use_bias=use_bias,
-                              kernel_init=kinit, dtype=dt, name=f"up{i}_conv")(h)
+            if self.up_mode == "resize_conv":
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = Conv(self.ngf * mult // 2, 3, padding=1, use_bias=use_bias,
+                         kernel_init=kinit, dtype=dt, name=f"up{i}_conv")(h)
+            else:
+                h = ConvTranspose(self.ngf * mult // 2, 3, stride=2, padding=1,
+                                  output_padding=1, use_bias=use_bias,
+                                  kernel_init=kinit, dtype=dt,
+                                  name=f"up{i}_conv")(h)
             h = Norm(self.norm, name=f"up{i}_norm")(h, train=train)
             h = nn.relu(h)
 

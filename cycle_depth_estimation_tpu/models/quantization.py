@@ -132,10 +132,12 @@ class Int8ResnetGenerator(nn.Module):
     ngf: int = 64
     n_blocks: int = 9
     norm: str = "instance"
+    up_mode: str = "convtranspose"  # 'resize_conv' for the fast-serving
+                                    # architecture (ResnetGenerator.up_mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops import ConvTranspose
+        from ..ops import Conv, ConvTranspose
 
         q = self.variables["qparams"]
         h = _Int8Site("conv_in", name="site_conv_in")(
@@ -162,9 +164,14 @@ class Int8ResnetGenerator(nn.Module):
             # too (phase-decomposed int8 transposed convs)
             self.sow("intermediates", f"up{i}_amax",
                      jnp.max(jnp.abs(h.astype(jnp.float32))))
-            h = ConvTranspose(self.ngf * mult // 2, 3, stride=2, padding=1,
-                              output_padding=1, use_bias=True,
-                              dtype=jnp.bfloat16, name=f"up{i}_conv")(h)
+            if self.up_mode == "resize_conv":
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = Conv(self.ngf * mult // 2, 3, padding=1, use_bias=True,
+                         dtype=jnp.bfloat16, name=f"up{i}_conv")(h)
+            else:
+                h = ConvTranspose(self.ngf * mult // 2, 3, stride=2, padding=1,
+                                  output_padding=1, use_bias=True,
+                                  dtype=jnp.bfloat16, name=f"up{i}_conv")(h)
             h = Norm(self.norm, name=f"up{i}_norm")(h)
             h = nn.relu(h)
         h = _Int8Site("conv_out", name="site_conv_out")(
@@ -296,15 +303,21 @@ def fused_int8_apply(variables: Dict[str, Any], x: jax.Array, *,
         small-tap convs have low MXU utilization and the int32 interleave
         adds a full memory pass);
       - 'int8_dilated': int8 lhs-dilated convs, IN-invariant epilogue;
-      - 'int8_phases': exact phase decomposition, int8 dense convs.
+      - 'int8_phases': exact phase decomposition, int8 dense convs;
+      - 'resize_conv_int8': nearest ×2 (an int8 repeat — pure layout, no
+        flops) + dense int8 3×3 conv. NON-parity with ConvTranspose weights:
+        use with a generator trained with `ResnetGenerator(up_mode=
+        'resize_conv')`. This is the all-int8 fast-serving architecture —
+        the up convs become plain dense MXU ops instead of dilated ones.
     """
     from ..ops.layers import _conv_transpose_s2_phases
     from ..ops.pallas.int8_epilogue import fused_in_epilogue
 
-    if up_mode not in ("bf16", "int8_dilated", "int8_phases"):
+    if up_mode not in ("bf16", "int8_dilated", "int8_phases",
+                       "resize_conv_int8"):
         # a typo would silently serve the measured-slower int8 ups
-        raise ValueError(f"unknown up_mode [{up_mode}]; expected "
-                         "'bf16' | 'int8_dilated' | 'int8_phases'")
+        raise ValueError(f"unknown up_mode [{up_mode}]; expected 'bf16' | "
+                         "'int8_dilated' | 'int8_phases' | 'resize_conv_int8'")
     q = variables["qparams"]
 
     def inv(site):
@@ -358,7 +371,10 @@ def fused_int8_apply(variables: Dict[str, Any], x: jax.Array, *,
     else:
         for i in range(2):
             kq = q[f"up{i}_conv"]["kernel_q"]
-            if up_mode == "int8_phases":
+            if up_mode == "resize_conv_int8":
+                up = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+                y = _conv_q(up, kq, 1, ((1, 1), (1, 1)))
+            elif up_mode == "int8_phases":
                 y = _conv_transpose_s2_phases(
                     a, kq, (3, 3), (1, 1), (1, 1),
                     preferred_element_type=jnp.int32)

@@ -68,12 +68,18 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), batch)
 
 
-def host_shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def host_shard_batch(mesh: Mesh, batch, axis: str = "data",
+                     spatial_axis: Optional[str] = None):
     """device_put a host batch pytree with the batch dim split over ``axis``.
 
     This is the host→HBM boundary (the reference's ``.cuda()`` in
     ``set_input``, e.g. models/cycle_gan_model.py:76-77) — one transfer per
     step, sliced across devices.
+
+    With ``spatial_axis`` (the ``--parallel sp`` CLI mode), every leaf with
+    rank ≥ 3 — NHWC images, NHW label maps, NHWx depth bands — additionally
+    has its H dimension split over that mesh axis; XLA's SPMD partitioner
+    inserts the conv halo exchanges over ICI (parallel/spatial.py).
 
     Multi-process (multi-host) meshes: each process passes its PROCESS-LOCAL
     slice of the global batch (global_batch/process_count leading rows, in
@@ -81,9 +87,14 @@ def host_shard_batch(mesh: Mesh, batch, axis: str = "data"):
     `jax.make_array_from_process_local_data` — the DCN-spanning analogue of
     the same boundary.
     """
-    sh = batch_sharding(mesh, axis)
+    def sh(x):
+        if spatial_axis is not None and getattr(x, "ndim", 0) >= 3:
+            return NamedSharding(mesh, P(axis, spatial_axis))
+        return batch_sharding(mesh, axis)
+
     if jax.process_count() > 1:
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            lambda x: jax.make_array_from_process_local_data(
+                sh(x), np.asarray(x)),
             batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sh(x)), batch)

@@ -56,3 +56,24 @@ def tp_shardings(params: Any, mesh: Mesh, axis: str = "model") -> Any:
 def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model") -> Any:
     """device_put the params with trunk channels split over ``axis``."""
     return jax.device_put(params, tp_shardings(params, mesh, axis))
+
+
+def shard_state_tp(state, mesh: Mesh, g_names=("G_A", "G_B"),
+                   opt_names=("G",), axis: str = "model"):
+    """Lay a ModelState out for tensor-parallel training (``--parallel tp``).
+
+    Shards the named generator param subtrees Megatron-style and gives their
+    Adam moments the SAME layout (the optax state mirrors the param tree, so
+    `tp_spec`'s block*/conv1|conv2 path matching applies verbatim — moments
+    of a sharded weight living replicated would force a reshard every step).
+    Everything else keeps its current (replicated) placement.
+    """
+    params = dict(state.params)
+    for n in g_names:
+        if n in params:
+            params[n] = shard_params_tp(params[n], mesh, axis)
+    opt_states = dict(state.opt_states)
+    for n in opt_names:
+        if n in opt_states:
+            opt_states[n] = shard_params_tp(opt_states[n], mesh, axis)
+    return state.replace(params=params, opt_states=opt_states)

@@ -142,3 +142,64 @@ def test_test_cli_gallery(cli_root, tmp_path):
     assert len(imgs) == 6
     assert any(f.endswith("_real_A.png") for f in imgs)
     assert any(f.endswith("_fake_B.png") for f in imgs)
+
+
+def test_train_cli_2d_mesh_tp(cli_root, tmp_path):
+    """One-flag tensor parallelism from argv: ``--mesh_shape 2 4 --parallel
+    tp`` trains a cycle_gan step on a ('data','model') mesh with the resnet
+    trunks Megatron-sharded (VERDICT r2 item 6 — the reference's one-flag
+    DataParallel analogue, reference models/seg_network.py:90-93)."""
+    argv = [
+        "--model", "cycle_gan", "--dataroot", cli_root,
+        "--checkpoints_dir", str(tmp_path / "ck_tp"), "--name", "cli_tp",
+        "--net_g", "resnet_3blocks", "--ngf", "8", "--ndf", "8",
+        "--loadSize", "36", "--fineSize", "32", "--batchSize", "4",
+        "--mesh_shape", "2", "4", "--parallel", "tp",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "4", "--display_freq", "1000000",
+        "--save_epoch_freq", "100", "--save_latest_freq", "1000000",
+        "--num_threads", "2",
+    ]
+    state = train_cli.main(argv)
+    assert int(np.asarray(state.step)) == 2
+    # the trunk conv1 kernels really are channel-sharded over 'model'
+    from jax.sharding import PartitionSpec as P
+    k = state.params["G_A"]["block0"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+
+
+def test_train_cli_sp_zero(cli_root, tmp_path):
+    """``--parallel sp --zero opt``: image H sharded over 'model' at the
+    host boundary + Adam moments ZeRO-sharded over 'data', from argv."""
+    argv = [
+        "--model", "cycle_gan", "--dataroot", cli_root,
+        "--checkpoints_dir", str(tmp_path / "ck_sp"), "--name", "cli_sp",
+        "--net_g", "resnet_3blocks", "--ngf", "8", "--ndf", "8",
+        "--loadSize", "36", "--fineSize", "32", "--batchSize", "4",
+        "--mesh_shape", "2", "4", "--parallel", "sp", "--zero", "opt",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "4", "--display_freq", "1000000",
+        "--save_epoch_freq", "100", "--save_latest_freq", "1000000",
+        "--num_threads", "2",
+    ]
+    state = train_cli.main(argv)
+    assert int(np.asarray(state.step)) == 2
+
+
+def test_train_cli_parallel_errors(cli_root, tmp_path):
+    """Unsupported parallelism combos fail fast with actionable messages."""
+    base = [
+        "--model", "cycle_gan", "--dataroot", cli_root,
+        "--checkpoints_dir", str(tmp_path / "ck_err"), "--name", "cli_err",
+        "--net_g", "resnet_3blocks", "--ngf", "8", "--ndf", "8",
+        "--loadSize", "36", "--fineSize", "32", "--batchSize", "4",
+        "--niter", "1", "--niter_decay", "0", "--num_threads", "2",
+    ]
+    with pytest.raises(SystemExit, match="library feature"):
+        train_cli.main(base + ["--parallel", "pp"])
+    with pytest.raises(SystemExit, match="'model' mesh axis"):
+        train_cli.main(base + ["--parallel", "tp"])  # 1-D mesh
+    with pytest.raises(SystemExit, match="must divide"):
+        # trunk width 4*9=36 does not divide an 8-way model axis
+        train_cli.main(base + ["--mesh_shape", "1", "8", "--parallel", "tp",
+                               "--ngf", "9"])

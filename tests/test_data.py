@@ -272,3 +272,27 @@ def test_try_dataset_train_and_test(domain_root):
     assert "seg_l_real" not in t
     assert "f_name" in t and "l_name" in t
     assert t["depth_l_s"].shape == (192, 576, 4)
+
+
+def test_process_loader_matches_threaded(gan_root):
+    """ProcessDataLoader (--worker_procs N, the reference num_workers=8
+    analogue) yields the same batches as the thread loader, including
+    epoch-dependent shuffling propagated into forked workers."""
+    from cycle_depth_estimation_tpu.data.loader import ProcessDataLoader
+
+    cfg = Config(dataroot=gan_root, load_size=36, fine_size=32, phase="train",
+                 dataset_mode="unaligned", batch_size=2, num_threads=2,
+                 worker_procs=2)
+    dl_proc = create_dataloader(cfg)
+    assert isinstance(dl_proc, ProcessDataLoader)
+    dl_thr = create_dataloader(cfg.replace(worker_procs=0))
+    for epoch in (0, 1):
+        dl_proc.set_epoch(epoch)
+        dl_thr.set_epoch(epoch)
+        bp, bt = list(dl_proc), list(dl_thr)
+        assert len(bp) == len(bt) == 3
+        for a, b in zip(bp, bt):
+            assert a["A_paths"] == b["A_paths"]
+            np.testing.assert_array_equal(a["A"], b["A"])
+            np.testing.assert_array_equal(a["B"], b["B"])
+    dl_proc.shutdown()

@@ -202,3 +202,65 @@ def test_spatial_sharded_s2d_trunk_matches():
     for a, b in zip(feats_sh, feats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_zero_sharding_layout():
+    """leaf_zero_sharding: largest axis-divisible dim sharded, scalars and
+    indivisible shapes replicated (parallel/zero.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cycle_depth_estimation_tpu.parallel.zero import leaf_zero_sharding
+
+    mesh = make_mesh()  # data=8
+    a = np.zeros((16, 3, 3, 64), np.float32)
+    assert leaf_zero_sharding(mesh, a).spec == P(None, None, None, "data")
+    b = np.zeros((24, 3, 3, 7), np.float32)
+    assert leaf_zero_sharding(mesh, b).spec == P("data", None, None, None)
+    assert leaf_zero_sharding(mesh, np.zeros((), np.float32)).spec == P()
+    assert leaf_zero_sharding(mesh, np.zeros((3, 3, 3, 7), np.float32)).spec == P()
+
+
+def test_zero_fsdp_step_parity():
+    """One Adam step with ZeRO-1 (moments sharded) and FSDP (params too)
+    layouts == fully replicated, on a real conv net."""
+    import optax
+
+    from cycle_depth_estimation_tpu.models.base_model import ModelState
+    from cycle_depth_estimation_tpu.parallel.zero import memory_report, zero_state
+
+    mesh = make_mesh()
+    g = ResnetGenerator(output_nc=3, ngf=8, n_blocks=1)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    t = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    params = g.init(jax.random.key(0), x)["params"]
+    # eps=1e-2 keeps Adam smooth: at step 1 with eps→0 the update is
+    # ~sign(g)·lr, and reduction-order noise on near-zero grads flips signs
+    # (layout-independent; see tests/test_s2d.py::_assert_params_close)
+    opt = optax.adam(1e-3, eps=1e-2)
+    state = ModelState(params=params, batch_stats={},
+                       opt_states=opt.init(params), pools={},
+                       step=jnp.zeros((), jnp.int32))
+
+    def step(s, x, t):
+        def loss(p):
+            return jnp.mean(jnp.abs(g.apply({"params": p}, x) - t))
+
+        grads = jax.grad(loss)(s.params)
+        upd, o = opt.update(grads, s.opt_states, s.params)
+        return s.replace(params=optax.apply_updates(s.params, upd),
+                         opt_states=o, step=s.step + 1)
+
+    ref = jax.jit(step)(state, x, t)
+    xs = host_shard_batch(mesh, {"x": x, "t": t})
+    for shard_params in (False, True):
+        sz = zero_state(mesh, state, shard_params=shard_params)
+        out = jax.jit(step)(sz, xs["x"], xs["t"])
+        for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(out.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6, rtol=1e-5)
+    rep = memory_report(state, mesh, shard_params=True)
+    assert rep["zero_per_device_bytes"]["opt_states"] < (
+        rep["replicated_per_device_bytes"]["opt_states"] / 4)
+    assert rep["zero_per_device_bytes"]["params"] < (
+        rep["replicated_per_device_bytes"]["params"] / 4)

@@ -159,3 +159,36 @@ def test_synthetic_calibration_batch():
     b = imgs[0, :, 1:, 0].ravel()
     r = np.corrcoef(a, b)[0, 1]
     assert r > 0.5, r
+
+
+def test_resize_conv_fast_serving_chain():
+    """The TPU-first fast-serving architecture: ResnetGenerator(up_mode=
+    'resize_conv') — nearest ×2 + dense 3×3 conv up stages — through the
+    full int8 chain (calibrate → fuse → fused_int8_apply(up_mode=
+    'resize_conv_int8')) tracks its fp32 forward. NON-parity with the
+    reference's ConvTranspose topology by design (train with the variant);
+    the int8 path is what gets served."""
+    g = ResnetGenerator(output_nc=3, ngf=8, n_blocks=2,
+                        up_mode="resize_conv")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3) * 2 - 1,
+                    jnp.float32)
+    vs = g.init(jax.random.key(0), x)
+    # up kernels are plain HWIO 3x3 convs now
+    assert vs["params"]["up0_conv"]["kernel"].shape[:2] == (3, 3)
+    y_fp = g.apply(vs, x)
+    assert y_fp.shape == x.shape
+
+    gq = Int8ResnetGenerator(output_nc=3, ngf=8, n_blocks=2,
+                             up_mode="resize_conv")
+    static = calibrate(gq, int8_generator_variables(vs["params"]), x)
+    # v1 (bf16 resize+conv ups) tracks fp32
+    assert _cos(gq.apply(static, x), y_fp) > 0.999
+    fused = fused_int8_variables(static)
+    y_q = fused_int8_apply(fused, x, n_blocks=2, up_mode="resize_conv_int8")
+    assert _cos(y_q, y_fp) > 0.995
+    # fresh input
+    x2 = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 3) * 2 - 1,
+                     jnp.float32)
+    assert _cos(fused_int8_apply(fused, x2, n_blocks=2,
+                                 up_mode="resize_conv_int8"),
+                g.apply(vs, x2)) > 0.99

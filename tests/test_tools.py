@@ -155,3 +155,47 @@ def test_confusion_matrix_out_of_range_pred():
     assert cm.shape == (3, 3)
     assert cm.sum() == 2  # (0,0) and (1,1); 255s on either side dropped
     assert cm[0, 0] == 1 and cm[1, 1] == 1
+
+
+def test_xplane_parser_reads_real_trace(tmp_path):
+    """tools/xplane.py (pure-python XSpace wire decoder) round-trips an
+    actual jax.profiler trace: finds planes, named events, and nonzero
+    durations — the foundation of tools/profile_top_ops.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.xplane import find_xplane_files, load_xspace, op_time_table
+
+    td = str(tmp_path / "trace")
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    x = jnp.ones((256, 256), jnp.float32)
+    f(x).block_until_ready()  # compile outside the window
+    jax.profiler.start_trace(td)
+    for _ in range(3):
+        y = f(x)
+    y.block_until_ready()
+    jax.profiler.stop_trace()
+
+    files = find_xplane_files(td)
+    assert files, "profiler wrote no .xplane.pb"
+    planes = []
+    for p in files:
+        planes.extend(load_xspace(p))
+    assert planes
+    names = [p.name for p in planes]
+    assert any(p.lines for p in planes), names
+    table = op_time_table(planes)
+    assert table
+    # at least one named event with a real duration
+    assert any(r["total_ps"] > 0 for r in table.values())
+    named = [k for k in table if not k.startswith("#")]
+    assert named, list(table)[:5]
+
+    from tools.profile_top_ops import report
+
+    out = report(td, top_k=5)
+    assert out["top_ops"] and out["total_ms"] > 0

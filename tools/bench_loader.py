@@ -90,6 +90,9 @@ def main(argv=None):
     p.add_argument("--fine-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--procs", type=int, nargs="+", default=[],
+                   help="also sweep the multi-process loader "
+                        "(ProcessDataLoader, --worker_procs) at these counts")
     p.add_argument("--epochs", type=int, default=2, help="timed epochs (+1 warmup)")
     p.add_argument("--dataset-mode", default="unaligned")
     p.add_argument("--device-aug", action="store_true",
@@ -121,6 +124,20 @@ def main(argv=None):
         results.append({"num_workers": w, "img_per_s": round(rate, 1)})
         if not args.json:
             print(f"workers={w:2d}  {rate:8.1f} img/s "
+                  f"({n_img} imgs in {secs:.2f}s)")
+
+    proc_results = []
+    for w in args.procs:
+        from cycle_depth_estimation_tpu.data.loader import ProcessDataLoader
+
+        loader = ProcessDataLoader(dataset, batch_size=args.batch_size,
+                                   shuffle=True, num_workers=w, seed=0)
+        secs, n_img = run_epochs(loader, args.epochs)
+        loader.shutdown()
+        rate = n_img / secs if secs > 0 else float("inf")
+        proc_results.append({"worker_procs": w, "img_per_s": round(rate, 1)})
+        if not args.json:
+            print(f"procs={w:2d}    {rate:8.1f} img/s "
                   f"({n_img} imgs in {secs:.2f}s)")
 
     dev_results = []
@@ -159,6 +176,8 @@ def main(argv=None):
     out = {"metric": "loader_throughput", "value": best["img_per_s"],
            "unit": "img/s", "best_workers": best["num_workers"],
            "sweep": results, "sustains": verdict}
+    if proc_results:
+        out["process_sweep"] = proc_results
     if dev_results:
         best_dev = max(dev_results, key=lambda r: r["img_per_s"])
         out["device_aug"] = {"value": best_dev["img_per_s"],

@@ -47,15 +47,16 @@ def main(argv=None):
         loader_test = None
     print(f"#training batches = {len(loader_train)}")
 
-    mesh = make_mesh(cfg.mesh_shape)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     model = create_model(cfg)
     model.donate_state = True  # old state is dead each step; update in place
     state = model.init_state_on_host(jax.random.key(cfg.seed))
     if cfg.continue_train:
         state = model.load_networks(state, cfg.epoch)
-    # replicate the state onto the mesh up front so the first and second steps
+    # place the state onto the mesh up front so the first and second steps
     # compile identically (outputs inherit mesh shardings)
-    state = jax.device_put(state, replicated(mesh))
+    state = _place_state(cfg, model, state, mesh)
+    sp_axis = "model" if cfg.parallel == "sp" else None
     visualizer = Visualizer(cfg)
 
     total_steps = 0
@@ -67,7 +68,8 @@ def main(argv=None):
         loader_train.set_epoch(epoch)
         iter_start = time.time()
         data_iter = prefetch_to_device(loader_train, mesh,
-                                       depth=cfg.prefetch_depth)
+                                       depth=cfg.prefetch_depth,
+                                       spatial_axis=sp_axis)
         if cfg.device_aug:
             # host shipped resize-only uint8; finish crop/flip/normalize on
             # device (data/device_transforms.py)
@@ -119,7 +121,8 @@ def main(argv=None):
         # ---- in-loop validation (reference train.py:33-49) ----
         if loader_test is not None:
             eval_losses = []
-            eval_iter = prefetch_to_device(loader_test, mesh)
+            eval_iter = prefetch_to_device(loader_test, mesh,
+                                           spatial_axis=sp_axis)
             if cfg.device_aug:
                 from cycle_depth_estimation_tpu.data.device_transforms import (
                     wrap_for_config)
@@ -157,6 +160,57 @@ def main(argv=None):
         jax.profiler.stop_trace()
         print(f"profiler trace written to {cfg.profile_dir} (early stop)")
     model.finish_checkpoints()  # drain async saves before returning
+    return state
+
+
+def _place_state(cfg, model, state, mesh):
+    """Lay the initial ModelState out on the mesh per the CLI parallelism
+    flags (one-flag parallelism, matching the reference's single
+    nn.DataParallel switch, /root/reference/models/seg_network.py:90-93):
+
+    - default / ``--parallel dp``: replicate everything; the batch sharding
+      over 'data' (prefetch_to_device) makes XLA emit the grad all-reduce.
+    - ``--zero opt|fsdp``: shard Adam moments (and params for fsdp) over
+      'data' (parallel/zero.py).
+    - ``--parallel sp``: needs a 'model' axis; input H is sharded at the
+      host→HBM boundary, state placement is unchanged.
+    - ``--parallel tp``: Megatron col/row sharding of the cycle_gan resnet
+      trunks + their Adam moments over 'model' (parallel/tensor.py).
+    """
+    from cycle_depth_estimation_tpu.parallel import replicated
+
+    if cfg.parallel not in ("dp", "sp", "tp"):
+        raise SystemExit(
+            f"--parallel {cfg.parallel!r} is not a train-CLI mode (dp|sp|tp);"
+            " pipeline parallelism is a library feature —"
+            " parallel/pipeline.py gpipe_apply")
+    if cfg.parallel in ("sp", "tp") and "model" not in mesh.shape:
+        raise SystemExit(
+            f"--parallel {cfg.parallel} needs a 'model' mesh axis: pass"
+            " --mesh_shape D M (axes default to data model)")
+
+    if cfg.zero != "off":
+        from cycle_depth_estimation_tpu.parallel.zero import zero_state
+
+        if cfg.zero not in ("opt", "fsdp"):
+            raise SystemExit(f"--zero {cfg.zero!r}: expected off|opt|fsdp")
+        state = zero_state(mesh, state, shard_params=(cfg.zero == "fsdp"))
+    else:
+        state = jax.device_put(state, replicated(mesh))
+
+    if cfg.parallel == "tp":
+        if cfg.model != "cycle_gan" or "resnet" not in cfg.net_g:
+            raise SystemExit(
+                "--parallel tp is wired for the cycle_gan resnet generators"
+                f" (got model={cfg.model!r}, net_g={cfg.net_g!r}); other"
+                " models run dp/sp, or use parallel/tensor.py directly")
+        if (4 * cfg.ngf) % mesh.shape["model"] != 0:
+            raise SystemExit(
+                f"--parallel tp: trunk width 4*ngf={4 * cfg.ngf} must divide"
+                f" by the model axis ({mesh.shape['model']})")
+        from cycle_depth_estimation_tpu.parallel.tensor import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
     return state
 
 
