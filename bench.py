@@ -54,18 +54,24 @@ def measure(fwd, v, x, iters=8, trials=3):
     return x.shape[0] * iters / best
 
 
-def main():
+def main(arch_up_mode: str = "convtranspose"):
     from cycle_depth_estimation_tpu.models.networks import ResnetGenerator
 
     batch = 128  # throughput saturates at batch >= 128
-    g = ResnetGenerator(output_nc=3, ngf=64, n_blocks=9, dtype=jnp.bfloat16)
+    g = ResnetGenerator(output_nc=3, ngf=64, n_blocks=9, dtype=jnp.bfloat16,
+                        up_mode=arch_up_mode)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         vs = g.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     x = jax.random.uniform(jax.random.key(1), (batch, 256, 256, 3),
                            jnp.bfloat16, -1.0, 1.0)
 
-    mode = "int8_fused_calibrated"
+    # the fast-serving architecture serves its up stages int8 (non-parity
+    # variant, README serving table); the reference topology serves bf16 ups
+    fused_up = ("resize_conv_int8" if arch_up_mode == "resize_conv"
+                else "bf16")
+    mode = "int8_fused_calibrated" + (
+        "_resize_conv" if arch_up_mode == "resize_conv" else "")
     try:
         from cycle_depth_estimation_tpu.models.quantization import (
             Int8ResnetGenerator,
@@ -76,7 +82,8 @@ def main():
             synthetic_calibration_batch,
         )
 
-        gq = Int8ResnetGenerator(output_nc=3, ngf=64, n_blocks=9)
+        gq = Int8ResnetGenerator(output_nc=3, ngf=64, n_blocks=9,
+                                 up_mode=arch_up_mode)
         # calibration runs on the chip (dynamic-scale pass; host init only)
         with jax.default_device(cpu):
             dyn = int8_generator_variables(vs["params"])
@@ -85,7 +92,8 @@ def main():
         static = calibrate(gq, dyn, jax.device_put(calib, jax.devices()[0]))
         v = jax.device_put(fused_int8_variables(jax.device_get(static)),
                            jax.devices()[0])
-        ips = measure(jax.jit(lambda v, x: fused_int8_apply(v, x)), v, x)
+        ips = measure(jax.jit(
+            lambda v, x: fused_int8_apply(v, x, up_mode=fused_up)), v, x)
     except Exception:
         mode = "bf16"
         v = jax.device_put(
@@ -249,6 +257,11 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--up_mode", default="convtranspose",
+                    choices=["convtranspose", "resize_conv"],
+                    help="generator mode only: up-stage architecture "
+                         "(resize_conv = the non-parity fast-serving "
+                         "variant with all-int8 ups)")
     args = ap.parse_args()
     if args.model in ("S2D", "S2D_base", "S2D_alt", "S2D_df", "S2D_nd",
                       "semantic_trans", "semantic_trans_full", "rf_lw",
@@ -259,4 +272,4 @@ if __name__ == "__main__":
         # coerced to the 16 default)
         main_cycle_gan(args.batch or 16, args.dtype)
     else:
-        main()
+        main(args.up_mode)

@@ -93,6 +93,11 @@ class Config:
     niter_decay: int = 5
     beta1: float = 0.5
     lr: float = 2e-4
+    # torch Adam default (models/cycle_gan_model.py betas only); raised in
+    # synthetic DP-parity tests to damp Adam's step-1 sign amplification
+    # (update ≈ sign(g)·lr, so reduction-order noise on a near-zero-grad
+    # coordinate flips it by ~2·lr — CLAUDE.md measured caveat)
+    adam_eps: float = 1e-8
     lr_d: float = 8e-5
     no_lsgan: bool = False
     pool_size: int = 50

@@ -41,10 +41,16 @@ class ModelState:
     step: jax.Array
 
 
-def make_optimizer(lr: float, beta1: float) -> optax.GradientTransformation:
+def make_optimizer(lr: float, beta1: float,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
     """Adam matching torch defaults used throughout the reference
-    (betas=(beta1, 0.999), eps=1e-8; e.g. models/cycle_gan_model.py:66-69)."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=beta1, b2=0.999)
+    (betas=(beta1, 0.999), eps=1e-8; e.g. models/cycle_gan_model.py:66-69).
+
+    ``eps`` stays at the torch default for training; synthetic DP-parity
+    tests pass a large value (cfg.adam_eps) to damp step-1 sign
+    amplification (see Config.adam_eps)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=beta1,
+                                                b2=0.999, eps=eps)
 
 
 def set_opt_lr(opt_state, lr: float):

@@ -67,14 +67,14 @@ class S2DModel(BaseModel):
         self.net_FD1 = SDiscriminator(dtype=dt)
         self.net_FD2 = SDiscriminator(dtype=dt)
         self.net_FD3 = SDiscriminator(dtype=dt)
-        lr, b1 = cfg.lr, cfg.beta1
+        lr, b1, eps = cfg.lr, cfg.beta1, cfg.adam_eps
         self.opts = {
-            "G_1": make_adam(lr / 5, b1),
-            "G_2": make_adam(lr / 3, b1),
-            "R_D": make_adam(lr / 2, b1),
-            "FD1": make_adam(lr / 4, b1),
-            "FD2": make_adam(lr / 4, b1),
-            "FD3": make_adam(lr / 4, b1),
+            "G_1": make_adam(lr / 5, b1, eps),
+            "G_2": make_adam(lr / 3, b1, eps),
+            "R_D": make_adam(lr / 2, b1, eps),
+            "FD1": make_adam(lr / 4, b1, eps),
+            "FD2": make_adam(lr / 4, b1, eps),
+            "FD3": make_adam(lr / 4, b1, eps),
         }
 
     # ------------------------------------------------------------------

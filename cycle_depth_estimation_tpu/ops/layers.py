@@ -26,6 +26,7 @@ fp32 and are cast at use (mixed-precision policy).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -459,6 +460,8 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int],
     n, h, w, c = x.shape
     oh, ow = size
     if not align_corners:
+        if _RESIZE_MM:
+            return resize_bilinear_mm(x, size, align_corners=False)
         # antialias=False: torch F.interpolate does NOT antialias on
         # downscale, while jax.image.resize defaults to True (review fix —
         # divergence up to ~2.0 on a downscaled ramp; upscales unaffected)
@@ -475,9 +478,73 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int],
         frac = pos - i0.astype(jnp.float32)
         return i0, i1, frac
 
+    if _RESIZE_MM:
+        return resize_bilinear_mm(x, size, align_corners=True)
     r0, r1, rf = axis_weights(h, oh)
     xf = x.astype(jnp.float32)
     rows = xf[:, r0] * (1.0 - rf)[None, :, None, None] + xf[:, r1] * rf[None, :, None, None]
     c0, c1, cf = axis_weights(w, ow)
     out = rows[:, :, c0] * (1.0 - cf)[None, None, :, None] + rows[:, :, c1] * cf[None, None, :, None]
+    return out.astype(x.dtype)
+
+
+# route the endpoint-aligned resizes through the matmul form below
+# (CDE_RESIZE_MM=1; read at trace time — flip it per-process to A/B the
+# rf_lw / S2D steps, tools/bench-able without touching model code)
+_RESIZE_MM = os.environ.get("CDE_RESIZE_MM", "") not in ("", "0")
+
+
+def _interp_matrix(in_len: int, out_len: int,
+                   align_corners: bool = True) -> np.ndarray:
+    """Dense (out,in) bilinear interpolation matrix — exactly the two-tap
+    weights of resize_bilinear: endpoint-aligned (align_corners=True) or
+    torch half-pixel centers without antialiasing (False)."""
+    m = np.zeros((out_len, in_len), np.float32)
+    if out_len == 1 or in_len == 1:
+        m[:, 0] = 1.0
+        return m
+    if align_corners:
+        pos = np.arange(out_len, dtype=np.float64) * (
+            (in_len - 1) / (out_len - 1))
+    else:
+        pos = (np.arange(out_len, dtype=np.float64) + 0.5) * (
+            in_len / out_len) - 0.5
+        pos = np.clip(pos, 0.0, in_len - 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, in_len - 1)
+    i1 = np.clip(i0 + 1, 0, in_len - 1)
+    frac = (pos - i0).astype(np.float32)
+    m[np.arange(out_len), i0] += 1.0 - frac
+    m[np.arange(out_len), i1] += frac
+    return m
+
+
+def resize_bilinear_mm(x: jax.Array, size: Tuple[int, int],
+                       align_corners: bool = True) -> jax.Array:
+    """Bilinear resize as two dense matmuls on the MXU.
+
+    TPU-first alternative to the gather form above: the per-axis two-tap
+    interpolation is a (out,in) matrix with two nonzeros per row, and
+    contracting it densely rides the systolic array instead of issuing
+    gathers — the candidate fix for the rf_lw/S2D steps being bound by
+    'fusion resizes' (tools/profile_top_ops.py). Shapes are static under
+    jit, so the matrices are baked as constants at trace time. Exact same
+    two-tap weights as the gather/jax.image forms (parity-tested); fp32
+    accumulation. Supports both alignment modes (the reference mixes them:
+    refinenet fusions are endpoint-aligned, rf_lw's ×2 head and the PSP
+    priors are half-pixel).
+    """
+    n, h, w, c = x.shape
+    oh, ow = size
+    # Precision: bf16 inputs contract at default precision (the throughput
+    # mode — a bf16 net resizes in bf16 on the MXU; HIGHEST would force the
+    # slow multi-pass fp32 emulation and defeat the point). fp32 inputs
+    # request HIGHEST so the TPU default (bf16-ish matmul) cannot silently
+    # break torch parity — measured 1.9e-2 max error on chip without it.
+    dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    rm = jnp.asarray(_interp_matrix(h, oh, align_corners), dt)
+    cm = jnp.asarray(_interp_matrix(w, ow, align_corners), dt)
+    rows = jnp.einsum("oh,nhwc->nowc", rm, x.astype(dt), precision=prec)
+    out = jnp.einsum("pw,nowc->nopc", cm, rows, precision=prec)
     return out.astype(x.dtype)

@@ -18,6 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache (verified working on XLA:CPU): the suite's
+# cost is dominated by recompiles of the big train-step programs (the S2D
+# 4-phase step at 192² compiles ~10 min); cache entries make re-runs and
+# the dryrun/test overlap nearly free. 5 s floor keeps tiny entries out.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CDE_JAX_CACHE", "/tmp/cde_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()

@@ -291,6 +291,121 @@ def _init_at(model, h, w):
         pools={}, step=jnp.zeros((), jnp.int32))
 
 
+def _assert_params_close(tree_a, tree_b, net_lr, err_msg=""):
+    """Post-Adam-step param comparison. Runs under a LARGE Adam eps
+    (cfg.adam_eps): at the torch eps=1e-8, step 1 is ~sign(g)·lr, so
+    reduction-order noise on any near-zero-grad coordinate flips its update
+    by ~2·lr (measured: 5.4% of a G_1 leaf at 192² bs8 — CLAUDE.md caveat);
+    eps=1e-3 caps the update sensitivity d(update)/dg at lr/eps.
+
+    Even then, the 4-phase step is SEQUENTIAL — R_D's grads are taken after
+    G_2's update, so phase-k grads inherit phase-(k-1) param diffs and a few
+    |g|≈eps coordinates can still flip. Measured over two full runs: every
+    leaf's max diff ≤ 1.2·its net lr; flip-scale (>net_lr) fraction ≲1e-3
+    (deepest-phase FD2, ZeRO layout); bulk >1e-5 fraction ≤3.9% (G_1).
+    The eps=1e-8 pathology this guards against measured 5.4% ABOVE the
+    flip scale — 18× the bound here; a real divergence puts most coords at
+    the update scale and trips all three checks."""
+    for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+        d = np.abs(np.asarray(b, np.float64) - np.asarray(a, np.float64))
+        assert d.max() <= 3.0 * net_lr, (err_msg, d.max())
+        assert np.mean(d > net_lr) <= 3e-3, (err_msg, float(np.mean(d > net_lr)))
+        assert np.mean(d > 1e-5) <= 0.08, (err_msg, float(np.mean(d > 1e-5)))
+
+
+def test_dp_step_equals_single_device():
+    """The FULL 4-phase S2D train step under data parallelism matches the
+    single-device step.
+
+    This is the flagship scale-out parity claim: the reference wraps exactly
+    G_1/G_2/R_D in nn.DataParallel (new_multi/model5.py:212-223,
+    networks5_ds.py:252-262). TPU-native DP is the SAME jit program with the
+    batch carrying a NamedSharding over 'data' and params replicated —
+    BatchNorm reduces over the full logical batch, so metrics and updated
+    params must agree with the unsharded run up to reduction order.
+
+    192×192 minimum: below that the FD1-3 stride-2 k4 ladders emit zero-size
+    outputs (geometry, not numerics).
+
+    adam_eps=1e-3 (vs the torch-default 1e-8 used in training) so the
+    post-step param comparison is meaningful — see _assert_params_close.
+    """
+    cfg = apply_model_defaults(Config(model="S2D", batch_size=8,
+                                      dense_block_config=[2, 2, 2, 2],
+                                      g1_blocks=1, adam_eps=1e-3))
+    model = create_model(cfg)
+    h, w = 192, 192
+    state = _init_at(model, h, w)
+    b = 8
+    batch = {
+        "img_syn": jnp.asarray(RNG.randn(b, h, w, 3), jnp.float32),
+        "img_real": jnp.asarray(RNG.randn(b, h, w, 3), jnp.float32),
+        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (b, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (b, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(RNG.rand(b, h, w, 1) * 2 - 1, jnp.float32),
+        "depth_l_s": jnp.asarray(np.sign(RNG.randn(b, h, w, 4)), jnp.float32),
+    }
+
+    state_ref, metrics_ref = model.train_step(state, batch, jax.random.key(1))
+    metrics_ref = {k: float(v) for k, v in metrics_ref.items()}
+
+    from cycle_depth_estimation_tpu.parallel import (
+        host_shard_batch,
+        make_mesh,
+        replicated,
+    )
+
+    mesh = make_mesh()
+    state_dp = jax.device_put(state, replicated(mesh))
+    batch_dp = host_shard_batch(mesh, batch)
+    assert len(batch_dp["img_syn"].sharding.device_set) == 8
+    state_dp, metrics_dp = model.train_step(state_dp, batch_dp,
+                                            jax.random.key(1))
+    for k, v in metrics_dp.items():
+        assert np.isfinite(float(v)), (k, float(v))
+        np.testing.assert_allclose(float(v), metrics_ref[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+    # updated params agree leaf-wise (grad all-reduce == unsharded reduce);
+    # the 5e-5 bulk bound is below the smallest sign-flip scale (2·lr/5 =
+    # 8e-5 for G_1) so a real divergence would still fail
+    net_lrs = {"G_1": cfg.lr / 5, "G_2": cfg.lr / 3, "R_D": cfg.lr / 2,
+               "FD1": cfg.lr / 4, "FD2": cfg.lr / 4, "FD3": cfg.lr / 4}
+    for net in model.model_names:
+        _assert_params_close(state_ref.params[net], state_dp.params[net],
+                             net_lr=net_lrs[net], err_msg=net)
+    # BatchNorm running stats threaded identically (full-batch reduction)
+    for a, bb in zip(jax.tree.leaves(state_ref.batch_stats),
+                     jax.tree.leaves(state_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4)
+
+    # ---- ZeRO-1 layout: the 6 Adam moment trees sharded over 'data'
+    # (parallel/zero.py) — same jit program, same numbers, 1/8 the
+    # optimizer HBM per device ----
+    from cycle_depth_estimation_tpu.parallel.zero import (
+        memory_report,
+        zero_state,
+    )
+
+    state_z = zero_state(mesh, state)
+    rep = memory_report(state, mesh)
+    assert rep["zero_per_device_bytes"]["opt_states"] < (
+        rep["replicated_per_device_bytes"]["opt_states"] / 4)
+    state_z, metrics_z = model.train_step(state_z, batch_dp, jax.random.key(1))
+    for k, v in metrics_z.items():
+        np.testing.assert_allclose(float(v), metrics_ref[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=f"zero:{k}")
+    for net in model.model_names:
+        _assert_params_close(state_ref.params[net], state_z.params[net],
+                             net_lr=net_lrs[net], err_msg=f"zero:{net}")
+    # updated moments keep their sharded layout (no silent re-replication)
+    from jax.sharding import PartitionSpec as P
+    big = [x for x in jax.tree.leaves(state_z.opt_states)
+           if hasattr(x, "sharding") and getattr(x, "ndim", 0) >= 1
+           and any(d % 8 == 0 and d >= 8 for d in x.shape)]
+    assert big and any(x.sharding.spec != P() for x in big)
+
+
 def test_s2d_base_train_step():
     cfg = apply_model_defaults(Config(model="S2D_base", batch_size=1, ndf=8,
                                       dense_block_config=[2, 2, 2, 2],

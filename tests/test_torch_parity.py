@@ -193,3 +193,34 @@ def test_resize_bilinear_downscale_matches_torch():
     out = resize_bilinear(jnp.asarray(x), (3, 5), align_corners=False)
     np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_resize_bilinear_mm_matches_gather_and_torch():
+    """The MXU-matmul resize (ops/layers.resize_bilinear_mm, used when
+    CDE_RESIZE_MM=1) carries exactly the endpoint-aligned two-tap weights:
+    parity vs the gather form AND vs torch F.interpolate(align_corners=True),
+    up/down-scale, odd sizes."""
+    import torch
+    import torch.nn.functional as tF
+
+    from cycle_depth_estimation_tpu.ops.layers import resize_bilinear_mm
+
+    rng = np.random.RandomState(3)
+    for (h, w), (oh, ow) in (((7, 9), (14, 18)), ((24, 36), (5, 7)),
+                             ((1, 9), (4, 18)), ((6, 6), (6, 6))):
+        x = rng.randn(2, h, w, 5).astype(np.float32)
+        mm = np.asarray(resize_bilinear_mm(jnp.asarray(x), (oh, ow)))
+        ga = np.asarray(resize_bilinear(jnp.asarray(x), (oh, ow),
+                                        align_corners=True))
+        np.testing.assert_allclose(mm, ga, atol=1e-5, rtol=1e-5)
+        ref = tF.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                             (oh, ow), mode="bilinear", align_corners=True)
+        np.testing.assert_allclose(mm, ref.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-5, rtol=1e-5)
+        # half-pixel mode (rf_lw ×2 head, PSP priors) vs torch
+        mm0 = np.asarray(resize_bilinear_mm(jnp.asarray(x), (oh, ow),
+                                            align_corners=False))
+        ref0 = tF.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                              (oh, ow), mode="bilinear", align_corners=False)
+        np.testing.assert_allclose(mm0, ref0.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-5, rtol=1e-5)

@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_PEAK = 197e12
 V5E_INT8_MEASURED = 184e12  # best measured int8 rate on this chip (README)
 
-# measured throughputs (img/s/chip) from README / CLAUDE.md
+# measured throughputs (img/s/chip) from README / CLAUDE.md; the df/nd rows
+# are the 2026-08-19 bench.py runs recorded in tools/bench_runs.jsonl
 MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
@@ -38,8 +39,8 @@ MEASURED = {
     "s2d_base_train_bf16": 10.48,
     "semantic_trans_train_bf16": 6.42,
     "rf_lw_train_bf16": 15.9,
-    "s2d_df_train_bf16": 16.5,
-    "s2d_nd_train_bf16": 17.68,
+    "s2d_df_train_bf16": 16.729,
+    "s2d_nd_train_bf16": 12.65,
 }
 
 
