@@ -29,21 +29,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.xplane import find_xplane_files, load_xspace, op_time_table
 
 
+def op_base(full: str) -> str:
+    """The HLO opcode-ish base of an 'XLA Ops' event name: the lhs
+    identifier before ' = ', stripped of %-prefix and trailing .N ids
+    (``%fusion.1411 = (bf16[...`` → ``fusion``)."""
+    o = full.split(" = ")[0].lstrip("%")
+    return o.rstrip("0123456789.").rstrip(".") or o
+
+
+def is_async(full: str) -> bool:
+    """copy-start/copy-done/slice-start/... run on the DMA queues; their
+    event duration spans the whole in-flight window (start→done), which
+    OVERLAPS compute — summing them alongside sync ops double-counts and
+    once mislabeled this step '55% copy-bound'. They are rolled up
+    separately as ``async_dma_window_ms``."""
+    o = op_base(full)
+    return o.endswith("-start") or o.endswith("-done") or "-start." in o
+
+
 def categorize(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or n.startswith("conv") or "%conv" in n:
+    """Bucket a SYNC op by its opcode base. Caveat: on TPU, XLA wraps
+    convolutions inside plain ``%fusion.N`` ops (the fused epilogues), so
+    'fusion' includes the MXU conv compute — the bare 'conv' bucket only
+    catches unfused convolutions."""
+    o = op_base(name).lower()
+    if "convolution" in o:
         return "conv"
-    if "fusion" in n:
-        return "fusion"
-    if any(k in n for k in ("all-reduce", "all-gather", "reduce-scatter",
+    if "dot" in o:
+        return "dot"
+    if any(k in o for k in ("all-reduce", "all-gather", "reduce-scatter",
                             "collective", "permute")):
         return "collective"
-    if any(k in n for k in ("copy", "transpose", "reshape", "bitcast")):
-        return "copy/layout"
-    if any(k in n for k in ("infeed", "outfeed", "transfer")):
+    if "fusion" in o:
+        return "fusion"
+    if any(k in o for k in ("copy", "transpose", "reshape", "bitcast",
+                            "concatenate", "pad", "slice", "reverse",
+                            "dynamic-update")):
+        return "data-movement"
+    if any(k in o for k in ("infeed", "outfeed", "transfer")):
         return "transfer"
-    if "dot" in n:
-        return "dot"
     return "other"
 
 
@@ -85,16 +109,32 @@ def report(trace_dir: str, top_k: int = 15) -> dict:
                      if "TPU" in p.name or "device" in p.name.lower()]
     use = device_planes or planes
     table = op_time_table(use)
-    # drop obvious trace-structure rows (steps markers etc.)
-    total_ps = sum(r["total_ps"] for r in table.values())
-    rows = sorted(table.items(), key=lambda kv: -kv[1]["total_ps"])
+    # Restrict to per-op events when the trace has the 'XLA Ops' line —
+    # the 'XLA Modules'/'Steps' lines span the same time and would
+    # double-count it.
+    op_rows = {n: r for n, r in table.items() if r["line"] == "XLA Ops"}
+    if not op_rows:
+        op_rows = table
+    module_ps = sum(r["total_ps"] for r in table.values()
+                    if r["line"] == "XLA Modules")
+    sync = {n: r for n, r in op_rows.items() if not is_async(n)}
+    async_ps = sum(r["total_ps"] for n, r in op_rows.items() if is_async(n))
+    total_ps = sum(r["total_ps"] for r in sync.values())
+    rows = sorted(sync.items(), key=lambda kv: -kv[1]["total_ps"])
     cats: dict = {}
+    opcodes: dict = {}
     for name, r in rows:
         c = categorize(name)
         cats[c] = cats.get(c, 0) + r["total_ps"]
+        o = op_base(name)
+        opcodes[o] = opcodes.get(o, 0) + r["total_ps"]
     out = {
         "planes": [p.name for p in use],
+        # sync (compute-stream) op time; ≈ the module window when the
+        # core is busy. Async DMA windows overlap it and are kept apart.
         "total_ms": round(total_ps / 1e9, 3),
+        "module_window_ms": round(module_ps / 1e9, 3),
+        "async_dma_window_ms": round(async_ps / 1e9, 3),
         "top_ops": [
             {"name": name[:120], "ms": round(r["total_ps"] / 1e9, 4),
              "pct": round(100 * r["total_ps"] / max(total_ps, 1), 2),
@@ -104,6 +144,9 @@ def report(trace_dir: str, top_k: int = 15) -> dict:
         "categories_pct": {c: round(100 * v / max(total_ps, 1), 2)
                            for c, v in sorted(cats.items(),
                                               key=lambda kv: -kv[1])},
+        "top_opcodes_ms": {o: round(v / 1e9, 2)
+                           for o, v in sorted(opcodes.items(),
+                                              key=lambda kv: -kv[1])[:15]},
     }
     return out
 
