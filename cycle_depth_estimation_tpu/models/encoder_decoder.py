@@ -51,7 +51,7 @@ class UNetEncoder(nn.Module):
         h = reflect_pad(x, 3)
         h = Conv(self.ngf, 7, use_bias=use_bias, kernel_init=kinit,
                  dtype=self.dtype, name="conv1")(h)
-        conv1 = avg_pool(act(Norm(self.norm, name="norm1")(h, train=train)), 2, 2)
+        conv1 = avg_pool(act(Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)), 2, 2)
         conv2 = avg_pool(EncoderBlock(self.ngf * 2, self.ngf * 2, name="conv2",
                                       **kw)(conv1, train=train, act=act), 2, 2)
         conv3 = avg_pool(EncoderBlock(self.ngf * 4, self.ngf * 4, name="conv3",

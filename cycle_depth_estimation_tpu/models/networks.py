@@ -67,13 +67,13 @@ class ResnetBlock(nn.Module):
 
         h = Conv(self.dim, 3, use_bias=self.use_bias, kernel_init=kinit,
                  dtype=self.dtype, name="conv1", **conv_kw)(pad1(x))
-        h = Norm(self.norm, name="norm1")(h, train=train)
+        h = Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = Conv(self.dim, 3, use_bias=self.use_bias, kernel_init=kinit,
                  dtype=self.dtype, name="conv2", **conv_kw)(pad1(h))
-        h = Norm(self.norm, name="norm2")(h, train=train)
+        h = Norm(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
         return x + h
 
 
@@ -107,7 +107,7 @@ class ResnetGenerator(nn.Module):
         h = reflect_pad(x, 3)
         h = Conv(self.ngf, 7, use_bias=use_bias, kernel_init=kinit, dtype=dt,
                  name="conv_in")(h)
-        h = Norm(self.norm, name="norm_in")(h, train=train)
+        h = Norm(self.norm, dtype=self.dtype, name="norm_in")(h, train=train)
         h = nn.relu(h)
 
         n_down = 2
@@ -115,7 +115,7 @@ class ResnetGenerator(nn.Module):
             mult = 2 ** i
             h = Conv(self.ngf * mult * 2, 3, stride=2, padding=1, use_bias=use_bias,
                      kernel_init=kinit, dtype=dt, name=f"down{i}_conv")(h)
-            h = Norm(self.norm, name=f"down{i}_norm")(h, train=train)
+            h = Norm(self.norm, dtype=self.dtype, name=f"down{i}_norm")(h, train=train)
             h = nn.relu(h)
 
         mult = 2 ** n_down
@@ -137,7 +137,7 @@ class ResnetGenerator(nn.Module):
                                   output_padding=1, use_bias=use_bias,
                                   kernel_init=kinit, dtype=dt,
                                   name=f"up{i}_conv")(h)
-            h = Norm(self.norm, name=f"up{i}_norm")(h, train=train)
+            h = Norm(self.norm, dtype=self.dtype, name=f"up{i}_norm")(h, train=train)
             h = nn.relu(h)
 
         h = reflect_pad(h, 3)
@@ -188,7 +188,7 @@ class UnetGenerator(nn.Module):
             h = Conv(inner, 4, stride=2, padding=1, use_bias=use_bias,
                      kernel_init=kinit, dtype=dt, name=f"down{lvl}_conv")(h)
             if 0 < lvl < nd - 1:  # innermost has no downnorm
-                h = Norm(self.norm, name=f"down{lvl}_norm")(h, train=train)
+                h = Norm(self.norm, dtype=self.dtype, name=f"down{lvl}_norm")(h, train=train)
             skips.append(h)
 
         # ---- decoder ----
@@ -200,7 +200,7 @@ class UnetGenerator(nn.Module):
                               kernel_init=kinit, dtype=dt, name=f"up{lvl}_conv")(h)
             if lvl == 0:
                 return jnp.tanh(h)
-            h = Norm(self.norm, name=f"up{lvl}_norm")(h, train=train)
+            h = Norm(self.norm, dtype=self.dtype, name=f"up{lvl}_norm")(h, train=train)
             # dropout on inner (8ngf→8ngf) decoder levels, reference order:
             # the non-innermost 8ngf blocks apply dropout after the skip-concat
             # of their submodule — equivalently here, right after upnorm.
@@ -235,13 +235,13 @@ class NLayerDiscriminator(nn.Module):
             nf_mult = min(2 ** n, 8)
             h = Conv(self.ndf * nf_mult, 4, stride=2, padding=1, use_bias=use_bias,
                      kernel_init=kinit, dtype=dt, name=f"conv{n}")(h)
-            h = Norm(self.norm, name=f"norm{n}")(h, train=train)
+            h = Norm(self.norm, dtype=self.dtype, name=f"norm{n}")(h, train=train)
             h = nn.leaky_relu(h, 0.2)
 
         nf_mult = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf_mult, 4, stride=1, padding=1, use_bias=use_bias,
                  kernel_init=kinit, dtype=dt, name=f"conv{self.n_layers}")(h)
-        h = Norm(self.norm, name=f"norm{self.n_layers}")(h, train=train)
+        h = Norm(self.norm, dtype=self.dtype, name=f"norm{self.n_layers}")(h, train=train)
         h = nn.leaky_relu(h, 0.2)
 
         h = Conv(1, 4, stride=1, padding=1, use_bias=True, kernel_init=kinit,
@@ -271,7 +271,7 @@ class PixelDiscriminator(nn.Module):
         h = nn.leaky_relu(h, 0.2)
         h = Conv(self.ndf * 2, 1, use_bias=use_bias, kernel_init=kinit, dtype=dt,
                  name="conv1")(h)
-        h = Norm(self.norm, name="norm1")(h, train=train)
+        h = Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = nn.leaky_relu(h, 0.2)
         h = Conv(1, 1, use_bias=use_bias, kernel_init=kinit, dtype=dt,
                  name="conv2")(h)

@@ -56,7 +56,7 @@ class ConvBnRelu6(nn.Module):
         h = Conv(self.features, self.kernel_size, stride=self.stride,
                  padding=self.kernel_size // 2, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv")(x)
-        h = Norm("batch", name="bn")(h, train=train)
+        h = Norm("batch", dtype=self.dtype, name="bn")(h, train=train)
         return jnp.minimum(nn.relu(h), 6.0) if self.act else h
 
 
@@ -73,18 +73,18 @@ class Bottleneck(nn.Module):
         residual = x
         h = Conv(self.planes, 1, use_bias=False, kernel_init=kaiming,
                  dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(Norm("batch", name="bn1")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="bn1")(h, train=train))
         h = Conv(self.planes, 3, stride=self.stride, padding=1, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv2")(h)
-        h = nn.relu(Norm("batch", name="bn2")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="bn2")(h, train=train))
         h = Conv(self.planes * 4, 1, use_bias=False, kernel_init=kaiming,
                  dtype=self.dtype, name="conv3")(h)
-        h = Norm("batch", name="bn3")(h, train=train)
+        h = Norm("batch", dtype=self.dtype, name="bn3")(h, train=train)
         if self.downsample:
             residual = Conv(self.planes * 4, 1, stride=self.stride,
                             use_bias=False, kernel_init=kaiming,
                             dtype=self.dtype, name="down_conv")(x)
-            residual = Norm("batch", name="down_bn")(residual, train=train)
+            residual = Norm("batch", dtype=self.dtype, name="down_bn")(residual, train=train)
         return nn.relu(h + residual)
 
 
@@ -134,13 +134,13 @@ class PSPBlock(nn.Module):
             h = Conv(self.out_planes // 4, 3, padding=d, dilation=d,
                      use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                      name=f"psp{i}_conv")(x)
-            h = Norm("batch", name=f"psp{i}_bn")(h, train=train)
+            h = Norm("batch", dtype=self.dtype, name=f"psp{i}_bn")(h, train=train)
             branches.append(jnp.minimum(nn.relu(h), 6.0))
         # residual 1×1 path: plain Conv2d (bias=True, unlike convbnrelu) + BN
         # + ReLU6 (layer_factory.py:66)
         res = Conv(self.out_planes, 1, use_bias=True, kernel_init=kaiming,
                    dtype=self.dtype, name="res_conv")(x)
-        res = Norm("batch", name="res_bn")(res, train=train)
+        res = Norm("batch", dtype=self.dtype, name="res_bn")(res, train=train)
         res = jnp.minimum(nn.relu(res), 6.0)
         return jnp.concatenate(branches, axis=-1) + res
 
@@ -175,7 +175,7 @@ class ATBlock(nn.Module):
         x = jnp.concatenate([s_feature, d_feature], axis=-1)
         a = Conv(x.shape[-1], 3, stride=2, padding=1, use_bias=True,
                  kernel_init=kaiming, dtype=self.dtype, name="at_conv")(x)
-        a = nn.leaky_relu(Norm("batch", name="at_bn")(a, train=train), 0.02)
+        a = nn.leaky_relu(Norm("batch", dtype=self.dtype, name="at_bn")(a, train=train), 0.02)
         a = nn.sigmoid(jnp.mean(a, axis=(1, 2), keepdims=True))
         out = a * x
         return Conv(self.out_c, 1, use_bias=False, kernel_init=kaiming,
@@ -199,11 +199,11 @@ class DepthBlockR6(nn.Module):
             f = ConvTranspose(c // 2, 4, stride=2, padding=1, output_padding=0,
                               use_bias=True, kernel_init=normal02,
                               dtype=self.dtype, name=f"up{i}_deconv")(x)
-            f = Norm("batch", name=f"up{i}_norm0")(nn.leaky_relu(f, 0.02),
+            f = Norm("batch", dtype=self.dtype, name=f"up{i}_norm0")(nn.leaky_relu(f, 0.02),
                                                    train=train)
             f = Conv(c // 2, 1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"up{i}_conv")(f)
-            f = Norm("batch", name=f"up{i}_norm1")(jnp.minimum(nn.relu(f), 6.0),
+            f = Norm("batch", dtype=self.dtype, name=f"up{i}_norm1")(jnp.minimum(nn.relu(f), 6.0),
                                                    train=train)
             d = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"depth_out{i}")(f)
@@ -211,14 +211,14 @@ class DepthBlockR6(nn.Module):
             a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
                      kernel_init=normal02, dtype=self.dtype,
                      name=f"at{i}_conv")(x)
-            a = Norm("batch", name=f"at{i}_norm")(jnp.minimum(nn.relu(a), 6.0),
+            a = Norm("batch", dtype=self.dtype, name=f"at{i}_norm")(jnp.minimum(nn.relu(a), 6.0),
                                                   train=train)
             a = jnp.mean(a, axis=(1, 2), keepdims=True)
             out_f.append(nn.sigmoid(a) * f + f)
         h = jnp.concatenate(out_f, axis=-1)
         h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="fuse_conv")(h)
-        h = Norm("batch", name="fuse_norm")(nn.leaky_relu(h, 0.02), train=train)
+        h = Norm("batch", dtype=self.dtype, name="fuse_norm")(nn.leaky_relu(h, 0.02), train=train)
         d1 = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                   dtype=self.dtype, name="dep_conv")(h)
         return dep_o, jnp.tanh(d1)
@@ -239,7 +239,7 @@ class ResNetLW(nn.Module):
         dt = self.dtype
         h = Conv(64, 7, stride=2, padding=3, use_bias=False, kernel_init=kaiming,
                  dtype=dt, name="conv1")(x)
-        h = nn.relu(Norm("batch", name="bn1")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="bn1")(h, train=train))
         h = max_pool(h, 3, 2, padding=1)
 
         suffix = "r" if domain == "real" else "s"

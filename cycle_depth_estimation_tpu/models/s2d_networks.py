@@ -68,10 +68,10 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.relu(Norm("batch", name="norm1")(x, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm1")(x, train=train))
         h = Conv(self.bn_size * self.growth_rate, 1, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv1")(h)
-        h = nn.relu(Norm("batch", name="norm2")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm2")(h, train=train))
         h = Conv(self.growth_rate, 3, padding=1, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv2")(h)
         if self.drop_rate > 0:
@@ -102,7 +102,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.relu(Norm("batch", name="norm")(x, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm")(x, train=train))
         h = Conv(self.num_output_features, 1, use_bias=False, kernel_init=kaiming,
                  dtype=self.dtype, name="conv")(h)
         return avg_pool(h, 2, 2)
@@ -132,7 +132,7 @@ class DenseNetBackbone(nn.Module):
     def __call__(self, x, *, train: bool = False):
         h = Conv(self.num_init_features, 7, stride=2, padding=3, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
-        h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm0")(h, train=train))
         outputs = []
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
@@ -166,12 +166,12 @@ class DualResnetBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         c0 = Conv(self.dim, 1, dilation=2, use_bias=self.use_bias,
                   kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
-        c0 = Norm(self.norm, name="norm0")(c0, train=train)
+        c0 = Norm(self.norm, dtype=self.dtype, name="norm0")(c0, train=train)
         if self.use_dropout:
             c0 = nn.Dropout(0.5, deterministic=not train)(c0)
         c1 = Conv(self.dim, 3, use_bias=self.use_bias, kernel_init=kaiming,
                   dtype=self.dtype, name="conv1")(reflect_pad(x, 1))
-        c1 = nn.relu(Norm(self.norm, name="norm1")(c1, train=train))
+        c1 = nn.relu(Norm(self.norm, dtype=self.dtype, name="norm1")(c1, train=train))
         if self.use_dropout:
             # the reference drops BOTH branches (build_conv1_block appends
             # Dropout(0.5) after the ReLU, networks5_ds.py:329-330)
@@ -205,12 +205,12 @@ class G1(nn.Module):
         use_bias = self.norm == "instance"
         h = Conv(self.num_init_features, 7, stride=2, padding=3, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv0")(x)
-        h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm0")(h, train=train))
         h = DenseBlock(self.block_config, self.growth_rate, self.bn_size,
                        dtype=self.dtype, name="denseblock1")(h, train=train)
         h = Conv(self.ngf, 3, use_bias=use_bias, kernel_init=kaiming,
                  dtype=self.dtype, name="entry_conv")(reflect_pad(h, 1))
-        h = nn.relu(Norm(self.norm, name="entry_norm")(h, train=train))
+        h = nn.relu(Norm(self.norm, dtype=self.dtype, name="entry_norm")(h, train=train))
         for i in range(self.n_blocks):
             if self.block_type == "dual":
                 h = DualResnetBlock(self.ngf, norm=self.norm,
@@ -239,7 +239,7 @@ class PspTrans(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         nout = self.num_input_features // 4
-        h = nn.relu(Norm("batch", name="norm")(x, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="norm")(x, train=train))
         a = Conv(nout, 1, use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                  name="conv1x1")(h)
         b = Conv(nout, 3, padding=1, use_bias=False, kernel_init=kaiming,
@@ -255,7 +255,7 @@ def psp_head(h, mid_nc, dtype, train):
     parameter names stay flat (``psp_b0``…), keeping every importer path
     unchanged."""
     q = mid_nc // 4
-    h = nn.relu(Norm("batch", name="psp_norm_in")(h, train=train))
+    h = nn.relu(Norm("batch", dtype=self.dtype, name="psp_norm_in")(h, train=train))
     b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=dtype,
               name="psp_b0")(h)
     b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
@@ -265,7 +265,7 @@ def psp_head(h, mid_nc, dtype, train):
     b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
               kernel_init=kaiming, dtype=dtype, name="psp_b3")(h)
     out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-    return Norm("batch", name="psp_norm_out")(out, train=train)
+    return Norm("batch", dtype=self.dtype, name="psp_norm_out")(out, train=train)
 
 
 class GeneralNet(nn.Module):
@@ -293,14 +293,14 @@ class GeneralNet(nn.Module):
             h = Conv(self.num_init_features, 7, stride=2, padding=3,
                      use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                      name="conv0")(x)
-            h = nn.relu(Norm("batch", name="norm0")(h, train=train))
+            h = nn.relu(Norm("batch", dtype=self.dtype, name="norm0")(h, train=train))
         else:
             if self.is_initializing():
                 # trace the stem once so its params exist for 'S'-first inits
                 s = Conv(self.num_init_features, 7, stride=2, padding=3,
                          use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                          name="conv0")(jnp.zeros_like(x[..., :3]))
-                nn.relu(Norm("batch", name="norm0")(s, train=train))
+                nn.relu(Norm("batch", dtype=self.dtype, name="norm0")(s, train=train))
             h = x
         features = []
         num_features = self.num_init_features
@@ -337,24 +337,24 @@ class GSide(nn.Module):
         # attention: conv s2 → BN → lrelu → global avg pool → sigmoid
         a = Conv(c, 3, stride=2, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="at_conv")(d_feature)
-        a = leaky(Norm("batch", name="at_norm")(a, train=train))
+        a = leaky(Norm("batch", dtype=self.dtype, name="at_norm")(a, train=train))
         a = jnp.mean(a, axis=(1, 2), keepdims=True)
         a = nn.sigmoid(a)
         # side path: 3×3 → lrelu → BN → 1×1 → lrelu → BN
         s = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="side_conv0")(s_feature)
-        s = Norm("batch", name="side_norm0")(leaky(s), train=train)
+        s = Norm("batch", dtype=self.dtype, name="side_norm0")(leaky(s), train=train)
         s = Conv(c, 1, use_bias=True, kernel_init=normal02, dtype=self.dtype,
                  name="side_conv1")(s)
-        s = Norm("batch", name="side_norm1")(leaky(s), train=train)
+        s = Norm("batch", dtype=self.dtype, name="side_norm1")(leaky(s), train=train)
         out = d_feature + a * s
         # compress: 3×3 /2ch → lrelu → BN → 1×1 → lrelu → BN → bilinear ×2
         h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="out_conv0")(out)
-        h = Norm("batch", name="out_norm0")(leaky(h), train=train)
+        h = Norm("batch", dtype=self.dtype, name="out_norm0")(leaky(h), train=train)
         h = Conv(c // 2, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="out_conv1")(h)
-        h = Norm("batch", name="out_norm1")(leaky(h), train=train)
+        h = Norm("batch", dtype=self.dtype, name="out_norm1")(leaky(h), train=train)
         n, hh, ww, cc = h.shape
         return resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
 
@@ -374,17 +374,17 @@ class DepthBlock(nn.Module):
             f = ConvTranspose(c // 2, 4, stride=2, padding=1, output_padding=0,
                               use_bias=True, kernel_init=normal02,
                               dtype=self.dtype, name=f"up{i}_deconv")(x)
-            f = Norm("batch", name=f"up{i}_norm0")(leaky(f), train=train)
+            f = Norm("batch", dtype=self.dtype, name=f"up{i}_norm0")(leaky(f), train=train)
             f = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"up{i}_conv")(f)
-            f = Norm("batch", name=f"up{i}_norm1")(leaky(f), train=train)
+            f = Norm("batch", dtype=self.dtype, name=f"up{i}_norm1")(leaky(f), train=train)
             d = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"depth_out{i}")(f)
             dep_o.append(jnp.tanh(d))
             a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
                      kernel_init=normal02, dtype=self.dtype,
                      name=f"at{i}_conv0")(x)
-            a = Norm("batch", name=f"at{i}_norm")(leaky(a), train=train)
+            a = Norm("batch", dtype=self.dtype, name=f"at{i}_norm")(leaky(a), train=train)
             a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
                      kernel_init=normal02, dtype=self.dtype,
                      name=f"at{i}_conv1")(a)
@@ -393,13 +393,13 @@ class DepthBlock(nn.Module):
         h = jnp.concatenate(out_f, axis=-1)
         h = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="fuse_conv0")(h)
-        h = Norm("batch", name="fuse_norm0")(leaky(h), train=train)
+        h = Norm("batch", dtype=self.dtype, name="fuse_norm0")(leaky(h), train=train)
         h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="fuse_conv1")(h)
-        h = Norm("batch", name="fuse_norm1")(leaky(h), train=train)
+        h = Norm("batch", dtype=self.dtype, name="fuse_norm1")(leaky(h), train=train)
         d1 = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                   dtype=self.dtype, name="dep_conv")(h)
-        d1 = Norm("batch", name="dep_norm")(d1, train=train)
+        d1 = Norm("batch", dtype=self.dtype, name="dep_norm")(d1, train=train)
         return dep_o, d1
 
 
@@ -415,12 +415,12 @@ class SegBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         h = Conv(self.in_c, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="conv0")(x)
-        h = Norm("batch", name="norm0")(leaky(h), train=train)
+        h = Norm("batch", dtype=self.dtype, name="norm0")(leaky(h), train=train)
         h = Conv(self.out_c, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="conv1")(h)
         n, hh, ww, c = h.shape
         h = resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
-        return leaky(Norm("batch", name="norm1")(h, train=train))
+        return leaky(Norm("batch", dtype=self.dtype, name="norm1")(h, train=train))
 
 
 class RDep(nn.Module):
@@ -469,16 +469,16 @@ class GSideST(nn.Module):
         # attention_bs: conv s2 → BN → lrelu → global avg pool; then sigmoid
         a = Conv(c, 3, stride=2, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="at_conv")(d_feature)
-        a = leaky(Norm("batch", name="at_norm")(a, train=train))
+        a = leaky(Norm("batch", dtype=self.dtype, name="at_norm")(a, train=train))
         a = nn.sigmoid(jnp.mean(a, axis=(1, 2), keepdims=True))
         # side_conv: conv → lrelu → BN (single conv in this generation)
         s = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="side_conv")(s_feature)
-        s = Norm("batch", name="side_norm")(leaky(s), train=train)
+        s = Norm("batch", dtype=self.dtype, name="side_norm")(leaky(s), train=train)
         h = jnp.concatenate([d_feature, a * s], axis=-1)
         h = Conv(c, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="out_conv")(h)
-        return Norm("batch", name="out_norm")(leaky(h), train=train)
+        return Norm("batch", dtype=self.dtype, name="out_norm")(leaky(h), train=train)
 
 
 class DepthBlockST(nn.Module):
@@ -499,26 +499,26 @@ class DepthBlockST(nn.Module):
             f = ConvTranspose(c // 2, 4, stride=2, padding=1, output_padding=0,
                               use_bias=True, kernel_init=normal02,
                               dtype=self.dtype, name=f"up{i}_deconv")(x)
-            f = Norm("batch", name=f"up{i}_norm")(leaky(f), train=train)
+            f = Norm("batch", dtype=self.dtype, name=f"up{i}_norm")(leaky(f), train=train)
             d = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"depth_out{i}")(f)
             dep_o.append(jnp.tanh(d))
             a = Conv(c // 2, 3, stride=2, padding=1, use_bias=True,
                      kernel_init=normal02, dtype=self.dtype,
                      name=f"at{i}_conv")(x)
-            a = Norm("batch", name=f"at{i}_norm")(leaky(a), train=train)
+            a = Norm("batch", dtype=self.dtype, name=f"at{i}_norm")(leaky(a), train=train)
             a = jnp.mean(a, axis=(1, 2), keepdims=True)
             out_f.append(nn.sigmoid(a) * f + f)
         h = jnp.concatenate(out_f, axis=-1)
         h = Conv(c // 2, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="fuse_conv")(h)
-        F = Norm("batch", name="fuse_norm")(leaky(h), train=train)
+        F = Norm("batch", dtype=self.dtype, name="fuse_norm")(leaky(h), train=train)
         e = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="se_conv")(F)
-        e = nn.sigmoid(Norm("batch", name="se_norm")(e, train=train))
+        e = nn.sigmoid(Norm("batch", dtype=self.dtype, name="se_norm")(e, train=train))
         d1 = Conv(1, 3, padding=1, use_bias=True, kernel_init=normal02,
                   dtype=self.dtype, name="dep_conv")(F)
-        d1 = Norm("batch", name="dep_norm")(d1, train=train)
+        d1 = Norm("batch", dtype=self.dtype, name="dep_norm")(d1, train=train)
         return F, dep_o, jnp.concatenate([e, d1], axis=-1)
 
 
@@ -535,7 +535,7 @@ class SegBlockST(nn.Module):
         h = ConvTranspose(self.out_c, 4, stride=2, padding=1, output_padding=0,
                           use_bias=True, kernel_init=normal02, dtype=self.dtype,
                           name="deconv")(leaky(x))
-        h = Norm("batch", name="bn")(h, train=train)
+        h = Norm("batch", dtype=self.dtype, name="bn")(h, train=train)
         res = leaky(Conv(28, 1, use_bias=True, kernel_init=normal02,
                          dtype=self.dtype, name="result")(h))
         return h, res
@@ -636,12 +636,12 @@ class SDiscriminator(nn.Module):
             nf = min(2 ** i, 8)
             h = Conv(self.ndf * nf, 4, stride=2, padding=1, use_bias=use_bias,
                      kernel_init=normal02, dtype=self.dtype, name=f"conv{i}")(h)
-            h = mid_prelu(i, Norm(self.norm, name=f"norm{i}")(h, train=train))
+            h = mid_prelu(i, Norm(self.norm, dtype=self.dtype, name=f"norm{i}")(h, train=train))
         nf = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf, 4, stride=1, padding=1, use_bias=use_bias,
                  kernel_init=normal02, dtype=self.dtype,
                  name=f"conv{self.n_layers}")(h)
-        h = act(Norm(self.norm, name=f"norm{self.n_layers}")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name=f"norm{self.n_layers}")(h, train=train))
         return Conv(1, 4, stride=1, padding=1, use_bias=True,
                     kernel_init=normal02, dtype=self.dtype, name="conv_out")(h)
 
@@ -753,7 +753,7 @@ class Discriminator2Seg(nn.Module):
             dim //= 2
             h = Conv(dim, 1, use_bias=True, kernel_init=normal02,
                      dtype=self.dtype, name=f"conv{i}")(h)
-            h = Norm("batch", name=f"norm{i}")(nn.leaky_relu(h, 0.01), train=train)
+            h = Norm("batch", dtype=self.dtype, name=f"norm{i}")(nn.leaky_relu(h, 0.01), train=train)
         h = Conv(1, 3, stride=2, padding=1, use_bias=False, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
         return nn.sigmoid(h)[..., 0]
@@ -783,7 +783,7 @@ class DeconvBlock(nn.Module):
                           dtype=self.dtype, name="deconv")(
             nn.leaky_relu(x, self.negative_slope))
         if self.batch_norm:
-            h = Norm("batch", name="bn")(h, train=train)
+            h = Norm("batch", dtype=self.dtype, name="bn")(h, train=train)
         return h
 
 
@@ -817,7 +817,7 @@ class SEG(nn.Module):
                             dtype=self.dtype, name=f"up{i}")(h, train=train)
         h = Conv(self.n_cls, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
-        h = nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+        h = nn.leaky_relu(Norm("batch", dtype=self.dtype, name="act_norm")(h, train=train), 0.01)
         return h, x
 
 
@@ -963,7 +963,7 @@ class GeneralNet2(nn.Module):
             h = Conv(self.num_init_features, 7, stride=2, padding=3,
                      use_bias=False, kernel_init=kaiming, dtype=self.dtype,
                      name="conv0")(x)
-            h = Norm("batch", name="norm0")(h, train=train)
+            h = Norm("batch", dtype=self.dtype, name="norm0")(h, train=train)
             h = nn.relu(h)
             # the reference appends the norm0 tensor and the INPLACE relu0
             # then mutates it (networks2.py:403,467-470), so the stored stem
@@ -976,7 +976,7 @@ class GeneralNet2(nn.Module):
                      name="conv0")(jnp.zeros_like(x[..., :3]))
             # 'S' mode: G_1 features pass through norm0 first
             # (networks2.py:444-449 iterates features[1:])
-            h = Norm("batch", name="norm0")(x, train=train)
+            h = Norm("batch", dtype=self.dtype, name="norm0")(x, train=train)
             h = nn.relu(h)
             features.append(h)  # post-ReLU via the same inplace aliasing
         num_features = self.num_init_features
@@ -1039,7 +1039,7 @@ class SEG2(nn.Module):
     def __call__(self, features, x, *, train: bool = False):
         h = _SkipDecoder(self.n_cls, dtype=self.dtype, name="dec")(
             features, x, train=train)
-        return nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+        return nn.leaky_relu(Norm("batch", dtype=self.dtype, name="act_norm")(h, train=train), 0.01)
 
 
 class DEP2(nn.Module):
@@ -1203,22 +1203,22 @@ class GBase(nn.Module):
         h = reflect_pad(x, 3)
         h = Conv(self.ngf, 7, use_bias=False, kernel_init=normal02,
                  dtype=self.dtype, name="stem_conv")(h)
-        h = nn.relu(Norm("batch", name="stem_norm")(h, train=train))
+        h = nn.relu(Norm("batch", dtype=self.dtype, name="stem_norm")(h, train=train))
         for i in range(2):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1,
                      use_bias=False, kernel_init=normal02, dtype=self.dtype,
                      name=f"down{i}_conv")(h)
-            h = nn.relu(Norm("batch", name=f"down{i}_norm")(h, train=train))
+            h = nn.relu(Norm("batch", dtype=self.dtype, name=f"down{i}_norm")(h, train=train))
         dim = self.ngf * 4
         for i in range(self.n_blocks):
             r = reflect_pad(h, 1)
             r = Conv(dim, 3, use_bias=False, kernel_init=normal02,
                      dtype=self.dtype, name=f"block{i}_conv0")(r)
-            r = nn.relu(Norm("batch", name=f"block{i}_norm0")(r, train=train))
+            r = nn.relu(Norm("batch", dtype=self.dtype, name=f"block{i}_norm0")(r, train=train))
             r = reflect_pad(r, 1)
             r = Conv(dim, 3, use_bias=False, kernel_init=normal02,
                      dtype=self.dtype, name=f"block{i}_conv1")(r)
-            r = Norm("batch", name=f"block{i}_norm1")(r, train=train)
+            r = Norm("batch", dtype=self.dtype, name=f"block{i}_norm1")(r, train=train)
             h = h + r
         h = reflect_pad(h, 3)
         h = Conv(self.out_nc, 7, use_bias=True, kernel_init=normal02,
@@ -1346,7 +1346,7 @@ class SEGDF(nn.Module):
                 f2 = nn.relu(h)
         h = Conv(self.n_cls, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="head")(h)
-        h = nn.leaky_relu(Norm("batch", name="act_norm")(h, train=train), 0.01)
+        h = nn.leaky_relu(Norm("batch", dtype=self.dtype, name="act_norm")(h, train=train), 0.01)
         return h, f2
 
 

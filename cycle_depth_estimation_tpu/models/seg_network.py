@@ -107,12 +107,12 @@ class InceptionBlock(nn.Module):
                      name=f"branch{i}")(h)
             branches.append(h)
         out = jnp.concatenate(branches, axis=-1)
-        out = act(Norm(self.norm, name="norm1")(out, train=train))
+        out = act(Norm(self.norm, dtype=self.dtype, name="norm1")(out, train=train))
         out = reflect_pad(out, 1)
         out = Conv(self.output_nc, 3, use_bias=self.use_bias,
                    kernel_init=self.kernel_init, dtype=self.dtype,
                    name="fuse1x1")(out)
-        out = Norm(self.norm, name="norm2")(out, train=train)
+        out = Norm(self.norm, dtype=self.dtype, name="norm2")(out, train=train)
         if self.drop_rate > 0:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
         return act(out + x)
@@ -130,10 +130,10 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, *, train: bool = False, act: Callable = nn.relu):
         h = Conv(self.middle_nc, 3, padding=1, use_bias=self.use_bias,
                  kernel_init=self.kernel_init, dtype=self.dtype, name="conv1")(x)
-        h = act(Norm(self.norm, name="norm1")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train))
         h = Conv(self.output_nc, 3, padding=1, use_bias=self.use_bias,
                  kernel_init=self.kernel_init, dtype=self.dtype, name="conv2")(h)
-        return act(Norm(self.norm, name="norm2")(h, train=train))
+        return act(Norm(self.norm, dtype=self.dtype, name="norm2")(h, train=train))
 
 
 class DownBlock(nn.Module):
@@ -147,7 +147,7 @@ class DownBlock(nn.Module):
     def __call__(self, x, *, train: bool = False, act: Callable = nn.relu):
         h = Conv(self.output_nc, 3, padding=1, use_bias=self.use_bias,
                  kernel_init=self.kernel_init, dtype=self.dtype, name="conv")(x)
-        h = act(Norm(self.norm, name="norm")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name="norm")(h, train=train))
         return max_pool(h, 2, 2)
 
 
@@ -167,7 +167,7 @@ class ShuffleUpBlock(nn.Module):
         h = act(pixel_shuffle(h, self.up_scale))
         h = Conv(self.output_nc, 3, padding=1, use_bias=self.use_bias,
                  kernel_init=self.kernel_init, dtype=self.dtype, name="conv")(h)
-        return act(Norm(self.norm, name="norm")(h, train=train))
+        return act(Norm(self.norm, dtype=self.dtype, name="norm")(h, train=train))
 
 
 class DecoderUpBlock(nn.Module):
@@ -183,12 +183,12 @@ class DecoderUpBlock(nn.Module):
         h = reflect_pad(x, 1)
         h = Conv(self.middle_nc, 3, use_bias=self.use_bias,
                  kernel_init=self.kernel_init, dtype=self.dtype, name="conv")(h)
-        h = act(Norm(self.norm, name="norm1")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train))
         h = ConvTranspose(self.output_nc, 3, stride=2, padding=1,
                           output_padding=1, use_bias=True,
                           kernel_init=self.kernel_init, dtype=self.dtype,
                           name="up")(h)
-        return act(Norm(self.norm, name="norm2")(h, train=train))
+        return act(Norm(self.norm, dtype=self.dtype, name="norm2")(h, train=train))
 
 
 class OutputBlock(nn.Module):
@@ -230,7 +230,7 @@ class ResGenerator(nn.Module):
         h = reflect_pad(x, 3)
         h = Conv(self.ngf, 7, use_bias=use_bias, kernel_init=kinit,
                  dtype=self.dtype, name="conv_in")(h)
-        h = act(Norm(self.norm, name="norm_in")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name="norm_in")(h, train=train))
         mult = 1
         for i in range(2):
             mult = min(2 ** (i + 1), 2)
@@ -273,7 +273,7 @@ class UNetTrunk(nn.Module):
         h = reflect_pad(x, 3)
         h = Conv(self.ngf, 7, use_bias=self.use_bias, kernel_init=self.kernel_init,
                  dtype=self.dtype, name="conv1")(h)
-        conv1 = avg_pool(act(Norm(self.norm, name="norm1")(h, train=train)), 2, 2)
+        conv1 = avg_pool(act(Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)), 2, 2)
         conv2 = avg_pool(EncoderBlock(self.ngf * 2, self.ngf * 2, name="conv2",
                                       **kw)(conv1, train=train, act=act), 2, 2)
         conv3 = avg_pool(EncoderBlock(self.ngf * 4, self.ngf * 4, name="conv3",
@@ -526,12 +526,12 @@ class Discriminator(nn.Module):
             nf = min(2 ** i, 8)
             h = Conv(self.ndf * nf, 4, stride=2, padding=1, use_bias=use_bias,
                      kernel_init=kinit, dtype=self.dtype, name=f"conv{i}")(h)
-            h = act(Norm(self.norm, name=f"norm{i}")(h, train=train))
+            h = act(Norm(self.norm, dtype=self.dtype, name=f"norm{i}")(h, train=train))
         nf = min(2 ** self.n_layers, 8)
         h = Conv(self.ndf * nf, 4, stride=1, padding=1, use_bias=use_bias,
                  kernel_init=kinit, dtype=self.dtype,
                  name=f"conv{self.n_layers}")(h)
-        h = act(Norm(self.norm, name=f"norm{self.n_layers}")(h, train=train))
+        h = act(Norm(self.norm, dtype=self.dtype, name=f"norm{self.n_layers}")(h, train=train))
         return Conv(1, 4, stride=1, padding=1, use_bias=True, kernel_init=kinit,
                     dtype=self.dtype, name="conv_out")(h)
 
@@ -654,10 +654,18 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = ((labels != ignore_index) & (labels >= 0) & (labels < num_classes))
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # Select logp[..., y] with a one-hot multiply-reduce over the class
+    # (lane) axis instead of take_along_axis: bit-identical (one term is
+    # multiplied by exactly 1.0, the rest by 0.0), but the per-pixel gather
+    # lowers to a serialized TPU gather fusion behind a bad-layout copy of
+    # the full logits — profiled at ~3 ms/step per CE site on the S2D step
+    # (tools/profile_S2D_bfloat16.json) — while the one-hot form stays a
+    # vectorized elementwise+reduce in NHWC layout.
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=logp.dtype)
+    ll = (logp * onehot).sum(-1)
     if weights is None:
         return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
-    w = jnp.asarray(weights, jnp.float32)[safe] * valid
+    w = (onehot @ jnp.asarray(weights, jnp.float32)) * valid
     return -(ll * w).sum() / jnp.maximum(w.sum(), 1e-8)
 
 

@@ -366,6 +366,16 @@ class Norm(nn.Module):
 
     kind: str = "instance"
     affine: Optional[bool] = None  # default: False for instance, True for batch
+    # Compute dtype of the 'batch' branch OUTPUT. None keeps the historical
+    # fp32 output. Stats/params stay fp32 either way (flax
+    # force_float32_reductions). Passing the enclosing module's compute
+    # dtype matters on TPU: with fp32 BN outputs, every BN→concat DenseNet
+    # chain carries fp32 activations through the bf16 trunk — profiling the
+    # S2D train step (tools/profile_S2D_bfloat16.json) showed the fp32
+    # concat/copy traffic of exactly those chains, and the value reaching
+    # the next conv is bit-identical either way (the conv casts its input
+    # to bf16 anyway).
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -379,7 +389,7 @@ class Norm(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=jnp.float32 if self.dtype is None else self.dtype,
                 name="norm",
             )(x)
         raise NotImplementedError(f"normalization layer [{self.kind}] is not found")
