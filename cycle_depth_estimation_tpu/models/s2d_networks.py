@@ -255,7 +255,7 @@ def psp_head(h, mid_nc, dtype, train):
     parameter names stay flat (``psp_b0``…), keeping every importer path
     unchanged."""
     q = mid_nc // 4
-    h = nn.relu(Norm("batch", dtype=self.dtype, name="psp_norm_in")(h, train=train))
+    h = nn.relu(Norm("batch", dtype=dtype, name="psp_norm_in")(h, train=train))
     b0 = Conv(q, 1, use_bias=False, kernel_init=kaiming, dtype=dtype,
               name="psp_b0")(h)
     b1 = Conv(q, 1, dilation=1, use_bias=False, kernel_init=kaiming,
@@ -265,7 +265,7 @@ def psp_head(h, mid_nc, dtype, train):
     b3 = Conv(q, 3, padding=2, dilation=2, use_bias=False,
               kernel_init=kaiming, dtype=dtype, name="psp_b3")(h)
     out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-    return Norm("batch", dtype=self.dtype, name="psp_norm_out")(out, train=train)
+    return Norm("batch", dtype=dtype, name="psp_norm_out")(out, train=train)
 
 
 class GeneralNet(nn.Module):
