@@ -19,3 +19,12 @@ CDE_RESIZE_MM=1 timeout 2400 python -m tools.profile_top_ops --model rf_lw --dty
 echo "--- F. S2D fp32 re-measure (one-hot CE affects fp32 too; vs 6.51) ---" >> $L
 timeout 3600 python bench.py --model S2D --dtype float32 --batch 2 >> $L 2>&1
 echo "=== follow-up queue done $(date) ===" >> $L
+echo "--- G. S2D_df bf16 re-run on NEW code (old-code 16.73) ---" >> $L
+timeout 2400 python bench.py --model S2D_df --dtype bfloat16 >> $L 2>&1
+echo "--- H. semantic_trans bf16 re-run on NEW code (old-code 6.42) ---" >> $L
+timeout 3600 python bench.py --model semantic_trans --dtype bfloat16 >> $L 2>&1
+echo "--- I. S2D_base bf16 re-run on NEW code (old-code 10.48) ---" >> $L
+timeout 2400 python bench.py --model S2D_base --dtype bfloat16 >> $L 2>&1
+echo "--- J. S2D_nd fp32 re-run on NEW code (old-code 13.88) ---" >> $L
+timeout 2400 python bench.py --model S2D_nd --dtype float32 >> $L 2>&1
+echo "=== follow-up queue (G-J) done $(date) ===" >> $L
