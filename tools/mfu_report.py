@@ -29,18 +29,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_PEAK = 197e12
 V5E_INT8_MEASURED = 184e12  # best measured int8 rate on this chip (README)
 
-# measured throughputs (img/s/chip) from README / CLAUDE.md; the df/nd rows
-# are the 2026-08-19 bench.py runs recorded in tools/bench_runs.jsonl
+# measured throughputs (img/s/chip); every row's producing run (date +
+# command + raw output) is recorded in tools/bench_runs.jsonl. s2d/rf_lw/
+# s2d_nd are the 2026-08-19/20 post-attack rates (one-hot CE + BN compute
+# dtype, commits e321706/68e098b); s2d_base/semantic_trans/s2d_df bf16 are
+# pre-attack rates pending their re-measures (tools/chip_queue_r3d.sh).
 MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
     "cycle_gan_train_bf16": 41.5,
-    "s2d_train_bf16": 7.16,
+    "s2d_train_bf16": 9.236,
     "s2d_base_train_bf16": 10.48,
     "semantic_trans_train_bf16": 6.42,
-    "rf_lw_train_bf16": 15.9,
+    "rf_lw_train_bf16": 31.768,
     "s2d_df_train_bf16": 16.729,
-    "s2d_nd_train_bf16": 12.65,
+    "s2d_nd_train_bf16": 19.822,
 }
 
 
