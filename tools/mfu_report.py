@@ -123,16 +123,33 @@ def main(argv=None):
     ap.add_argument("--rate", nargs="*", default=[],
                     metavar="NAME=IMG_PER_S",
                     help="override a measured rate, e.g. s2d_train_bf16=7.3")
+    ap.add_argument("--reuse-flops", action="store_true",
+                    help="recompute rate-dependent fields from the flop "
+                         "counts in the committed mfu_report.json instead "
+                         "of re-lowering every program (minutes of CPU). "
+                         "The one-hot-CE rewrite changed HLO flops by "
+                         "<0.1%% of the step totals, so reused counts are "
+                         "accurate until the next full regen.")
     args = ap.parse_args(argv)
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
 
     rates = dict(MEASURED)
     for kv in args.rate:
         k, v = kv.split("=")
         rates[k] = float(v)
+
+    if args.reuse_flops:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "mfu_report.json")
+        with open(path) as f:
+            prev = json.load(f)
+        rows = [(name, row["gflop_per_img"] * 1e9, rates.get(name),
+                 row["peak_tflop_per_s"] * 1e12)
+                for name, row in prev.items()]
+        return _emit(rows)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     rows = []
     if "generator" not in args.skip:
@@ -154,6 +171,10 @@ def main(argv=None):
                          flops_try_family(model_name, batch),
                          rates[f"{key}_train_bf16"], V5E_BF16_PEAK))
 
+    return _emit(rows)
+
+
+def _emit(rows):
     out = {}
     print(f"{'config':26s} {'GFLOP/img':>10s} {'img/s':>8s} "
           f"{'TFLOP/s':>8s} {'MFU':>6s}")
