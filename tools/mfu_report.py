@@ -129,7 +129,10 @@ def main(argv=None):
                          "of re-lowering every program (minutes of CPU). "
                          "The one-hot-CE rewrite changed HLO flops by "
                          "<0.1%% of the step totals, so reused counts are "
-                         "accurate until the next full regen.")
+                         "accurate until the next full regen. Note the "
+                         "reused gflop_per_img values are the JSON's "
+                         "2-decimal rounded ones (≤0.5%% relative error on "
+                         "the smallest row).")
     args = ap.parse_args(argv)
 
     rates = dict(MEASURED)
@@ -142,9 +145,21 @@ def main(argv=None):
                             "mfu_report.json")
         with open(path) as f:
             prev = json.load(f)
+        # --skip applies here too (ADVICE r3): a skipped config's row is
+        # dropped from the regenerated report, same as in the full path
+        def _skipped(name):
+            return any(name == f"{k}_train_bf16" or name.startswith(f"{k}_")
+                       for k in args.skip)
+        # a MEASURED/--rate key with no flop row in the committed JSON can
+        # NOT be emitted without a full regen — say so instead of silently
+        # dropping it (ADVICE r3)
+        for k in rates:
+            if k not in prev:
+                print(f"WARNING: rate '{k}' has no flop row in {path}; "
+                      "run without --reuse-flops to add it", file=sys.stderr)
         rows = [(name, row["gflop_per_img"] * 1e9, rates.get(name),
                  row["peak_tflop_per_s"] * 1e12)
-                for name, row in prev.items()]
+                for name, row in prev.items() if not _skipped(name)]
         return _emit(rows)
 
     import jax
