@@ -199,3 +199,65 @@ def test_xplane_parser_reads_real_trace(tmp_path):
 
     out = report(td, top_k=5)
     assert out["top_ops"] and out["total_ms"] > 0
+
+
+def test_long_run_structured_bands_batches():
+    """--structured_bands batches: real KITTI band encoding on a smooth
+    image-derived depth field — all four band channels must stay within
+    the reach of a tanh head (band 3 may exceed +1 by only the reference's
+    band-5 quirk epsilon, preprocess.py:153-160), with nonzero ±1
+    saturation masses for the BCE masks, and the seg/dep labels must be
+    deterministic functions of the image (learnable, not memorization)."""
+    from tools.long_run_s2d import make_batches
+
+    b = make_batches(2, 1, structured=True)[0]
+    bands = np.asarray(b["depth_l_s"])
+    assert bands.shape == (2, 192, 576, 4)
+    assert np.isfinite(bands).all()
+    assert bands.min() >= -1.0
+    assert bands.max() <= 1.0 + 2.5e-3  # band-5 quirk epsilon (2/8000+)
+    for c in range(3):  # bands 0-2 must carry both BCE masks
+        assert (bands[..., c] == 1.0).mean() + (bands[..., c] == -1.0).mean() > 0.01
+    dep = np.asarray(b["dep_l_syn"])
+    assert dep.shape == (2, 192, 576, 1) and dep.min() >= -1 and dep.max() <= 1
+    seg = np.asarray(b["seg_l_syn"])
+    assert seg.min() >= 0 and seg.max() <= 27
+    # determinism: same seeds → identical labels (per-(seed) construction)
+    b2 = make_batches(2, 1, structured=True)[0]
+    np.testing.assert_array_equal(seg, np.asarray(b2["seg_l_syn"]))
+    np.testing.assert_array_equal(bands, np.asarray(b2["depth_l_s"]))
+
+
+def test_dep_ref_floor_band_call():
+    """The floor analysis' core claim: on sign-random ±1 band targets the
+    per-call BCEDepLoss at the optimal constant prediction is
+    50·(1-sky_frac) + 2·ln2·(1-sky_frac)/2 and FLAT in p over [-1,1] for
+    the L1 part (tools/dep_ref_floor.py; VERDICT r3 item 3)."""
+    import jax.numpy as jnp
+
+    from cycle_depth_estimation_tpu.models.s2d_networks import (
+        bce_dep_loss,
+        get_masks,
+    )
+
+    rng = np.random.RandomState(0)
+    h, w = 32, 96
+    seg = rng.randint(0, 28, (1, h, w))
+    sky = (seg != 17).astype(np.float32)[..., None]
+    sky4 = np.repeat(sky, 4, axis=-1)
+    target = jnp.asarray(sky4 * np.sign(rng.randn(1, h, w, 4)))
+    o_m, z_m = get_masks(target)
+    f_o = float(np.asarray(o_m).mean())
+    f_z = float(np.asarray(z_m).mean())
+    # closed form at a constant prediction p (q = (p+1)/2):
+    #   f_o·(−log q) + f_z·(−log(1−q)) + 50·((1−p)·f_o + (1+p)·f_z)
+    # — the L1 part's p-derivative is 50·(f_z−f_o), i.e. zero in
+    # EXPECTATION on sign-random bands (f_o ≈ f_z): no usable gradient
+    for p in (-0.5, 0.0, 0.5):
+        q = (p + 1) / 2
+        analytic = (f_o * -np.log(q) + f_z * -np.log(1 - q)
+                    + 50.0 * ((1 - p) * f_o + (1 + p) * f_z))
+        pc = jnp.asarray(sky * np.full((1, h, w, 1), p, np.float32))
+        got = float(bce_dep_loss(pc, target, o_m, z_m))
+        assert abs(got - analytic) / analytic < 0.005, (p, got, analytic)
+    assert abs(f_o - f_z) < 0.02  # the expectation-flatness condition

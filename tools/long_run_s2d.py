@@ -34,9 +34,21 @@ import jax.numpy as jnp
 
 
 def make_batches(batch: int, n_rotate: int, h: int = 192, w: int = 576,
-                 seed0: int = 0, device=None):
-    """Structured synthetic try_data batches (bench.py pattern), pre-placed
-    on device so the step loop pays no host→HBM transfer over the relay."""
+                 seed0: int = 0, device=None, structured: bool = False):
+    """Synthetic try_data batches (bench.py pattern), pre-placed on device
+    so the step loop pays no host→HBM transfer over the relay.
+
+    Default labels are RANDOM (per-pixel uniform seg, sign(randn) bands) —
+    stability-only: tools/dep_ref_floor.py shows the 4×BCEDepLoss band
+    objective then sits at an information-theoretic floor (≈196.0) with
+    zero gradient in its dominant 50×L1 term, so dep_ref is expected FLAT.
+
+    ``structured=True`` (--structured_bands) instead derives depth from
+    the image field through the REAL KITTI band encoding
+    (data/preprocess.depth_bands, reference try_data.py:240-272) and seg
+    labels from intensity quantization — learnable image→label mappings,
+    so every task term (including the band term) has signal.
+    """
     from cycle_depth_estimation_tpu.models.quantization import (
         synthetic_calibration_batch,
     )
@@ -45,22 +57,61 @@ def make_batches(batch: int, n_rotate: int, h: int = 192, w: int = 576,
 
     def simg(seed):
         a = synthetic_calibration_batch(seed, batch, h).repeat(3, axis=2)
-        return jnp.asarray(a[:, :, :w, :])
+        return np.asarray(a[:, :, :w, :])
+
+    def seg_from(img):
+        # 28-way intensity quantization: class 17 (sky) lands on a real
+        # contiguous intensity band, so the sky mask is structured too
+        lum = img.mean(axis=-1)
+        return np.clip(((lum + 1) / 2 * 28).astype(np.int32), 0, 27)
+
+    def depth_labels_from(img):
+        from cycle_depth_estimation_tpu.data.preprocess import depth_bands
+
+        # smooth raw-depth field spanning the full KITTI label range
+        # [0, 8000]: luminance plus a vertical ramp (ground-plane-like
+        # gradient), rescaled per image so min≈0 like real KITTI depth —
+        # otherwise the band-5 normalization quirk (preprocess.py:153-160,
+        # reference try_data.py:268) sends that channel far above +1,
+        # which a tanh head can never reach (a synthetic-only floor)
+        lum = img.mean(axis=-1)  # (batch, h, w)
+        ramp = np.linspace(0.0, 1.0, lum.shape[1], dtype=np.float32)[None, :,
+                                                                     None]
+        combo = 0.35 * (lum + 1) / 2 + 0.65 * ramp
+        lo = combo.min(axis=(1, 2), keepdims=True)
+        hi = combo.max(axis=(1, 2), keepdims=True)
+        raw = 8000.0 * (combo - lo) / np.maximum(hi - lo, 1e-6)
+        fulls, bands = zip(*(depth_bands(raw[i], train=True)
+                             for i in range(raw.shape[0])))
+        return np.stack(fulls), np.stack(bands)
 
     out = []
     for j in range(n_rotate):
-        b = {
-            "img_syn": simg(seed0 + 1 + 10 * j),
-            "img_real": simg(seed0 + 2 + 10 * j),
-            "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
-                                     jnp.int32),
-            "seg_l_real": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
-                                      jnp.int32),
-            "dep_l_syn": jnp.asarray(rng.rand(batch, h, w, 1) * 2 - 1,
-                                     jnp.float32),
-            "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
-                                     jnp.float32),
-        }
+        a_syn = simg(seed0 + 1 + 10 * j)
+        a_real = simg(seed0 + 2 + 10 * j)
+        if structured:
+            dep_full, dep_bands4 = depth_labels_from(a_syn)
+            b = {
+                "img_syn": jnp.asarray(a_syn),
+                "img_real": jnp.asarray(a_real),
+                "seg_l_syn": jnp.asarray(seg_from(a_syn), jnp.int32),
+                "seg_l_real": jnp.asarray(seg_from(a_real), jnp.int32),
+                "dep_l_syn": jnp.asarray(dep_full, jnp.float32),
+                "depth_l_s": jnp.asarray(dep_bands4, jnp.float32),
+            }
+        else:
+            b = {
+                "img_syn": jnp.asarray(a_syn),
+                "img_real": jnp.asarray(a_real),
+                "seg_l_syn": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
+                                         jnp.int32),
+                "seg_l_real": jnp.asarray(rng.randint(0, 28, (batch, h, w)),
+                                          jnp.int32),
+                "dep_l_syn": jnp.asarray(rng.rand(batch, h, w, 1) * 2 - 1,
+                                         jnp.float32),
+                "depth_l_s": jnp.asarray(np.sign(rng.randn(batch, h, w, 4)),
+                                         jnp.float32),
+            }
         out.append(jax.device_put(b, device or jax.devices()[0]))
     return out
 
@@ -78,6 +129,11 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "long_run_s2d.json"))
     ap.add_argument("--model", default="S2D")
+    ap.add_argument("--structured_bands", action="store_true",
+                    help="derive depth/band/seg labels from the image "
+                         "field via the real KITTI band encoding instead "
+                         "of random labels — makes every task term "
+                         "learnable (see tools/dep_ref_floor.py)")
     args = ap.parse_args()
 
     from cycle_depth_estimation_tpu.config import Config, apply_model_defaults
@@ -90,8 +146,10 @@ def main():
     model.donate_state = True
     print(f"[long_run] init {args.model} on host ...", flush=True)
     state = model.init_state_on_host(jax.random.key(0))
-    batches = make_batches(args.batch, args.rotate)
-    held_out = make_batches(args.batch, 1, seed0=900)[0]
+    batches = make_batches(args.batch, args.rotate,
+                           structured=args.structured_bands)
+    held_out = make_batches(args.batch, 1, seed0=900,
+                            structured=args.structured_bands)[0]
 
     stream_path = args.out + "l"  # crash-safe JSONL stream
     log = []
@@ -134,6 +192,7 @@ def main():
         "batch": args.batch,
         "dtype": args.dtype,
         "rotate": args.rotate,
+        "structured_bands": args.structured_bands,
         "img_per_s_wall": round(img_s, 3),
         "sec_per_step_wall": round(dt / steps_timed, 4),
         "all_finite": all(math.isfinite(v) for r in log for v in r.values()),
@@ -144,7 +203,8 @@ def main():
         "task_loss_trend": {
             k: {"first": first.get(k), "last": last.get(k)}
             for k in ("G1", "G2", "seg_syn", "seg_real", "dep_ref",
-                      "acc_syn", "acc_real") if k in first
+                      "dep_l1", "dep_band", "acc_syn", "acc_real")
+            if k in first
         },
         "log": log,
     }
@@ -160,7 +220,8 @@ def main():
 
         steps = [r["step"] for r in log]
         fig, ax = plt.subplots(figsize=(9, 5))
-        for k in ("G1", "G2", "seg_syn", "seg_real", "dep_ref"):
+        for k in ("G1", "G2", "seg_syn", "seg_real", "dep_ref", "dep_l1",
+                  "dep_band"):
             if k in log[0]:
                 ax.plot(steps, [r[k] for r in log], label=k)
         ax.set_xlabel("step")
