@@ -173,6 +173,7 @@ def main(argv=None):
     out = report(trace_dir, args.top)
     out["model"] = args.model if not args.parse_only else None
     out["dtype"] = args.dtype if not args.parse_only else None
+    out["steps_traced"] = args.steps if not args.parse_only else None
     print(f"{'op':60s} {'ms':>9s} {'pct':>6s} {'count':>7s}")
     for r in out["top_ops"]:
         print(f"{r['name'][:60]:60s} {r['ms']:9.3f} {r['pct']:6.2f} "
