@@ -42,8 +42,9 @@ from .base_model import make_optimizer as make_adam  # noqa: F401,E402
 
 @register_model("S2D")
 class S2DModel(BaseModel):
-    loss_names = ("G1", "G2", "R_D_real", "R_D_syn", "dep_ref", "seg_syn",
-                  "seg_real", "FD", "acc_syn", "acc_real")
+    loss_names = ("G1", "G2", "R_D_real", "R_D_syn", "dep_ref", "dep_l1",
+                  "dep_band", "seg_syn", "seg_real", "FD", "acc_syn",
+                  "acc_real")
     visual_names = ("syn_img", "real_img", "syn_seg_l", "syn_dep_l",
                     "syn_dep_ref", "real_dep_ref", "syn_seg_pre",
                     "real_seg_pre")
@@ -239,14 +240,23 @@ class S2DModel(BaseModel):
         def rd_syn_loss_fn(rdp):
             (feats, seg, (dep_4, dep_o)), s_rd = rd(
                 rdp, stats["R_D"], syn_feats, syn_psp)
-            dep_loss = l1_loss(dep_o, sky * syn_dep_l)
+            # logged split (dep_ref = dep_l1 + dep_band): the 4×BCEDepLoss
+            # band term has a high optimal-constant floor on unstructured
+            # targets (tools/dep_ref_floor.py) while the L1 term is the
+            # learnable depth-regression signal — sum-only logging hid
+            # which component moved in long runs
+            l1_term = l1_loss(dep_o, sky * syn_dep_l)
+            band_term = jnp.zeros(())
             for band in dep_4:
-                dep_loss = dep_loss + self.band_criterion(
+                band_term = band_term + self.band_criterion(
                     sky * band, sky4 * syn_dep_ls, oms, zms)
+            dep_loss = l1_term + band_term
             seg_loss = cross_entropy_loss(seg, syn_seg_l, 255)
-            return dep_loss + seg_loss, (feats, dep_4, dep_o, dep_loss, s_rd)
+            return dep_loss + seg_loss, (feats, dep_4, dep_o,
+                                         (dep_loss, l1_term, band_term), s_rd)
 
-        (loss_rd_syn, (s_feats, syn_dep_4, syn_dep_o, dep_ref_loss, s_rd)), \
+        (loss_rd_syn, (s_feats, syn_dep_4, syn_dep_o,
+                       (dep_ref_loss, dep_l1_term, dep_band_term), s_rd)), \
             rd_grads = (
                 jax.value_and_grad(rd_syn_loss_fn, has_aux=True)(params["R_D"]))
         upd, opt_states["R_D"] = self.opts["R_D"].update(
@@ -256,6 +266,8 @@ class S2DModel(BaseModel):
         syn_feats_d = [jax.lax.stop_gradient(f) for f in s_feats]
         metrics["R_D_syn"] = loss_rd_syn
         metrics["dep_ref"] = dep_ref_loss
+        metrics["dep_l1"] = dep_l1_term
+        metrics["dep_band"] = dep_band_term
 
         # ================= phase 4: FD1-3 =================
         fd_total = jnp.zeros(())

@@ -22,8 +22,12 @@ jax.config.update("jax_platforms", "cpu")
 # cost is dominated by recompiles of the big train-step programs (the S2D
 # 4-phase step at 192² compiles ~10 min); cache entries make re-runs and
 # the dryrun/test overlap nearly free. 5 s floor keeps tiny entries out.
+# Lives INSIDE the repo (.jax_cache/, gitignored), NOT /tmp: /tmp is wiped
+# on VM restart, which left round 4's driver dryrun cold (VERDICT r3 #1).
+_repo_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("CDE_JAX_CACHE", "/tmp/cde_jax_cache"))
+                  os.environ.get("CDE_JAX_CACHE", _repo_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()

@@ -256,6 +256,10 @@ def test_s2d_train_step():
     assert set(metrics) == set(model.loss_names)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+    # the logged dep_ref decomposition (tools/dep_ref_floor.py relies on it)
+    np.testing.assert_allclose(
+        float(metrics["dep_ref"]),
+        float(metrics["dep_l1"]) + float(metrics["dep_band"]), rtol=1e-5)
     for net in model.model_names:
         l0 = jax.tree.leaves(state.params[net])
         l1 = jax.tree.leaves(state1.params[net])
