@@ -47,12 +47,15 @@ HOST = {
 # img/s/chip, v5e, from tools/bench_runs.jsonl (update when re-measured)
 CHIP = {
     # family: (rate, dtype/batch note, host pipeline key)
-    "S2D bf16 bs1": (9.236, "2026-08-20", "try"),
-    "S2D bf16 bs2": (None, "queue r4 item 2", "try"),   # fill post-queue
-    "S2D_df bf16": (None, "queue r4 item 8", "try"),
+    "S2D bf16 bs1": (9.376, "2026-08-20", "try"),
+    "S2D bf16 bs2": (8.314, "2026-08-20", "try"),
+    "S2D_base bf16": (11.498, "2026-08-20", "try"),
+    # S2D_df bf16 12.81 on 2026-08-20 is ANOMALOUS (below same-code fp32
+    # 16.23); excluded until the root-cause A/B lands (VERDICT r4 item 3)
+    "S2D_df bf16": (None, "anomaly under investigation", "try"),
     "S2D_nd bf16": (19.822, "2026-08-19", "try"),
     "rf_lw bf16 bs2": (31.768, "2026-08-19", "try"),
-    "semantic_trans bf16": (None, "queue r4 item 6", "try"),
+    "semantic_trans bf16": (8.797, "2026-08-20", "try"),
     "cycle_gan bf16 bs16": (41.5, "2026-08-19 (r2)", "cyclegan"),
 }
 

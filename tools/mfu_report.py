@@ -30,17 +30,19 @@ V5E_BF16_PEAK = 197e12
 V5E_INT8_MEASURED = 184e12  # best measured int8 rate on this chip (README)
 
 # measured throughputs (img/s/chip); every row's producing run (date +
-# command + raw output) is recorded in tools/bench_runs.jsonl. s2d/rf_lw/
-# s2d_nd are the 2026-08-19/20 post-attack rates (one-hot CE + BN compute
-# dtype, commits e321706/68e098b); s2d_base/semantic_trans/s2d_df bf16 are
-# pre-attack rates pending their re-measures (tools/chip_queue_r3d.sh).
+# command + raw output) is recorded in tools/bench_runs.jsonl. All rows
+# are post-attack (one-hot CE + BN compute dtype) current-code rates,
+# 2026-08-19/20, EXCEPT s2d_df: its 2026-08-20 bf16 reading (12.81) is
+# anomalous (below same-code fp32 16.23) and under root-cause
+# investigation (VERDICT r4 item 3); the old-code 16.73 stands flagged
+# until resolved.
 MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
     "cycle_gan_train_bf16": 41.5,
-    "s2d_train_bf16": 9.236,
-    "s2d_base_train_bf16": 10.48,
-    "semantic_trans_train_bf16": 6.42,
+    "s2d_train_bf16": 9.376,
+    "s2d_base_train_bf16": 11.498,
+    "semantic_trans_train_bf16": 8.797,
     "rf_lw_train_bf16": 31.768,
     "s2d_df_train_bf16": 16.729,
     "s2d_nd_train_bf16": 19.822,
@@ -147,9 +149,14 @@ def main(argv=None):
             prev = json.load(f)
         # --skip applies here too (ADVICE r3): a skipped config's row is
         # dropped from the regenerated report, same as in the full path
+        # exact-key match only, mirroring the full path below: --skip s2d
+        # must NOT drop s2d_base/s2d_df/s2d_nd rows (ADVICE r4)
         def _skipped(name):
-            return any(name == f"{k}_train_bf16" or name.startswith(f"{k}_")
-                       for k in args.skip)
+            return any(
+                name == f"{k}_train_bf16"
+                or (k == "generator"
+                    and name in ("generator_bf16", "generator_int8_fused"))
+                for k in args.skip)
         # a MEASURED/--rate key with no flop row in the committed JSON can
         # NOT be emitted without a full regen — say so instead of silently
         # dropping it (ADVICE r3)

@@ -17,7 +17,11 @@ import argparse
 import json
 
 
-def per_step(d: dict) -> float:
+def per_step(d: dict, label: str = "") -> float:
+    if d.get("steps_traced") is None:
+        # Pre-r4 traces lack the field; a non-default --steps capture would
+        # silently produce wrong per-step deltas (ADVICE r4).
+        print(f"WARNING: {label or 'input'} has no steps_traced — assuming 3")
     return max(int(d.get("steps_traced") or 3), 1)
 
 
@@ -29,7 +33,7 @@ def main(argv=None):
 
     a = json.load(open(args.before))
     b = json.load(open(args.after))
-    na, nb = per_step(a), per_step(b)
+    na, nb = per_step(a, args.before), per_step(b, args.after)
 
     print(f"{'':24s} {'before/step':>12s} {'after/step':>12s} {'delta':>9s}")
     ta, tb = a["total_ms"] / na, b["total_ms"] / nb
