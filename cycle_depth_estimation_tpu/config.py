@@ -125,6 +125,10 @@ class Config:
     #      DenseNet-169 working point (networks5_ds.py:367) ----
     dense_block_config: Optional[List[int]] = None  # default (6, 12, 32, 32)
     g1_blocks: int = 3
+    # reduced-width knobs for compile-bounded contexts (the driver's CPU
+    # multi-chip dryrun, small tests); None = the reference working point
+    dense_growth_rate: Optional[int] = None         # default 32
+    s2d_mid_nc: Optional[int] = None                # default 1024 (= RDep base)
     resnet_layers: Optional[List[int]] = None       # rf_lw: default (3, 4, 23, 3)
     # dis_seg/G2Blocks generations (SURVEY rows 32-33): condition the
     # S2D_base feature discriminator on the seg label map (Discriminator.

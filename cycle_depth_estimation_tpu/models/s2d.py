@@ -22,8 +22,6 @@ reference executes.
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -62,9 +60,12 @@ class S2DModel(BaseModel):
         super().__init__(cfg)
         dt = cfg.compute_dtype()
         block_config = tuple(cfg.dense_block_config or (6, 12, 32, 32))
+        mid_nc = cfg.s2d_mid_nc or 1024
         self.net_G_1 = G1(n_blocks=cfg.g1_blocks, dtype=dt)
-        self.net_G_2 = GeneralNet(block_config=block_config, dtype=dt)
-        self.net_R_D = RDep(dtype=dt)
+        self.net_G_2 = GeneralNet(mid_nc=mid_nc,
+                                  growth_rate=cfg.dense_growth_rate or 32,
+                                  block_config=block_config, dtype=dt)
+        self.net_R_D = RDep(dtype=dt, base_c=mid_nc)
         self.net_FD1 = SDiscriminator(dtype=dt)
         self.net_FD2 = SDiscriminator(dtype=dt)
         self.net_FD3 = SDiscriminator(dtype=dt)
@@ -77,6 +78,7 @@ class S2DModel(BaseModel):
             "FD2": make_adam(lr / 4, b1, eps),
             "FD3": make_adam(lr / 4, b1, eps),
         }
+        self._phase_jits = None
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, hw=None) -> ModelState:
@@ -116,32 +118,97 @@ class S2DModel(BaseModel):
         README's S2D perf table)."""
         return jax.checkpoint(f) if self.cfg.remat else f
 
-    def _step_train(self, state: ModelState, batch, rng):
-        cfg = self.cfg
-        syn_img, real_img = batch["img_syn"], batch["img_real"]
-        syn_seg_l = batch["seg_l_syn"]
-        real_seg_l = batch["seg_l_real"]
-        syn_dep_l = batch["dep_l_syn"]
-        syn_dep_ls = batch["depth_l_s"]
-        params = dict(state.params)
-        stats = dict(state.batch_stats)
-        opt_states = dict(state.opt_states)
-        sky = self._sky(syn_seg_l)
-        sky4 = jnp.repeat(sky, 4, axis=-1)
-        oms, zms = get_masks(sky4 * syn_dep_ls)
-        metrics: Dict[str, jax.Array] = {}
+    # ---- phase decomposition ------------------------------------------
+    # The 4-phase round-robin is written as ctx -> ctx transformations so it
+    # can run two ways with ONE source of truth:
+    #   * fused  — `_step_train` folds the phases inside one jit (the TPU
+    #     perf path: one dispatch, cross-phase fusion, state donation);
+    #   * phased — `train_step_phased` jits each phase separately. XLA
+    #     compile time is superlinear in program size, so six small
+    #     programs compile several× faster than the fused one — this is
+    #     what bounds the CPU multi-chip dryrun (VERDICT r4 item 1).
+    # ``ctx`` is a plain dict pytree: params/stats/opt_states/metrics dicts,
+    # the batch leaves, the precomputed masks, carried detached tensors, and
+    # the step rng.
 
-        # ================= phase 1: G_2 =================
-        ss, stats["G_1"] = self._apply(self.net_G_1, params["G_1"], stats["G_1"],
-                                       syn_img, train=True)
-        ss = jax.lax.stop_gradient(ss)
+    def _phases(self):
+        """Ordered (name, fn) phase list; fns map ctx -> ctx."""
+        return [("g2", self._phase_g2), ("g1", self._phase_g1),
+                ("rd_real", self._phase_rd_real),
+                ("rd_syn", self._phase_rd_syn), ("fd", self._phase_fd),
+                ("post", self._phase_post)]
 
+    def _phase_nets(self):
+        """(g2_s, g2_r, rd) train-mode appliers, remat-wrapped per config."""
         g2_s = self._rematable(
             lambda p, s, x: self._apply(self.net_G_2, p, s, x, "S", train=True))
         g2_r = self._rematable(
             lambda p, s, x: self._apply(self.net_G_2, p, s, x, "R", train=True))
         rd = self._rematable(
             lambda p, s, f, d: self._apply(self.net_R_D, p, s, f, d, train=True))
+        return g2_s, g2_r, rd
+
+    def _ctx_init(self, state: ModelState, batch, rng):
+        syn_seg_l = batch["seg_l_syn"]
+        syn_dep_ls = batch["depth_l_s"]
+        sky = self._sky(syn_seg_l)
+        sky4 = jnp.repeat(sky, 4, axis=-1)
+        oms, zms = get_masks(sky4 * syn_dep_ls)
+        return dict(
+            params=dict(state.params), stats=dict(state.batch_stats),
+            opt_states=dict(state.opt_states),
+            metrics={},
+            syn_img=batch["img_syn"], real_img=batch["img_real"],
+            syn_seg_l=syn_seg_l, real_seg_l=batch["seg_l_real"],
+            syn_dep_l=batch["dep_l_syn"], syn_dep_ls=syn_dep_ls,
+            sky=sky, sky4=sky4, oms=oms, zms=zms, rng=rng)
+
+    def _step_train(self, state: ModelState, batch, rng):
+        ctx = self._ctx_init(state, batch, rng)
+        for _name, fn in self._phases():
+            ctx = fn(ctx)
+        new_state = state.replace(
+            params=ctx["params"], batch_stats=ctx["stats"],
+            opt_states=ctx["opt_states"], step=state.step + 1)
+        return new_state, self.metrics_dict(**ctx["metrics"])
+
+    def train_step_phased(self, state: ModelState, batch, rng, progress=None):
+        """The same 4-phase round-robin as ``train_step``, compiled as one
+        XLA program PER PHASE instead of one fused program.
+
+        Numerically the same update sequence (each phase consumes exactly
+        the previous phase's outputs, as the fused trace does); what changes
+        is compile granularity. Use where compile time is the binding
+        constraint — the driver's CPU multi-chip dryrun — not on the TPU
+        hot path (the fused step keeps cross-phase fusion and donation).
+        ``progress(name)`` is called as each phase's program returns.
+        """
+        if self._phase_jits is None:
+            self._phase_jits = {n: jax.jit(fn) for n, fn in self._phases()}
+        ctx = self._ctx_init(state, batch, rng)
+        for name, _fn in self._phases():
+            ctx = self._phase_jits[name](ctx)
+            if progress is not None:
+                jax.block_until_ready(ctx["metrics"])
+                progress(name)
+        new_state = state.replace(
+            params=ctx["params"], batch_stats=ctx["stats"],
+            opt_states=ctx["opt_states"], step=state.step + 1)
+        return new_state, self.metrics_dict(**ctx["metrics"])
+
+    # ================= phase 1: G_2 =================
+    def _phase_g2(self, ctx):
+        params, stats = ctx["params"], ctx["stats"]
+        opt_states, metrics = ctx["opt_states"], ctx["metrics"]
+        syn_img, real_img = ctx["syn_img"], ctx["real_img"]
+        syn_seg_l, real_seg_l = ctx["syn_seg_l"], ctx["real_seg_l"]
+        syn_dep_l, sky = ctx["syn_dep_l"], ctx["sky"]
+
+        ss, stats["G_1"] = self._apply(self.net_G_1, params["G_1"], stats["G_1"],
+                                       syn_img, train=True)
+        ss = jax.lax.stop_gradient(ss)
+
+        g2_s, g2_r, rd = self._phase_nets()
 
         def g2_loss_fn(g2p):
             s = stats["G_2"]
@@ -178,8 +245,18 @@ class S2DModel(BaseModel):
         metrics["seg_real"] = aux2["seg_real"]
         metrics["acc_syn"] = seg_accuracy(aux2["syn_seg_pre"], syn_seg_l, 255)
         metrics["acc_real"] = seg_accuracy(aux2["real_seg_pre"], real_seg_l, 255)
+        ctx.update(syn_psp=syn_psp, syn_feats=syn_feats,
+                   real_psp=real_psp, real_feats=real_feats)
+        return ctx
 
-        # ================= phase 2: G_1 =================
+    # ================= phase 2: G_1 =================
+    def _phase_g1(self, ctx):
+        params, stats = ctx["params"], ctx["stats"]
+        opt_states, metrics = ctx["opt_states"], ctx["metrics"]
+        syn_img = ctx["syn_img"]
+        syn_seg_l, syn_dep_l = ctx["syn_seg_l"], ctx["syn_dep_l"]
+        g2_s, _g2_r, rd = self._phase_nets()
+
         def g1_loss_fn(g1p):
             s1 = stats["G_1"]
             h, s1 = self._apply(self.net_G_1, g1p, s1, syn_img, train=True)
@@ -197,8 +274,16 @@ class S2DModel(BaseModel):
         params["G_1"] = optax.apply_updates(params["G_1"], upd)
         stats["G_1"], stats["G_2"], stats["R_D"] = s1, s2, s_rd
         metrics["G1"] = loss_G1
+        return ctx
 
-        # ================= phase 3a: R_D real =================
+    # ================= phase 3a: R_D real =================
+    def _phase_rd_real(self, ctx):
+        params, stats = ctx["params"], ctx["stats"]
+        opt_states, metrics = ctx["opt_states"], ctx["metrics"]
+        real_seg_l = ctx["real_seg_l"]
+        real_feats, real_psp = ctx["real_feats"], ctx["real_psp"]
+        _g2_s, _g2_r, rd = self._phase_nets()
+
         def rd_real_loss_fn(rdp):
             (feats, seg, (dep_4, dep_o)), s_rd = rd(
                 rdp, stats["R_D"], real_feats, real_psp)
@@ -235,8 +320,21 @@ class S2DModel(BaseModel):
         real_feats_d = [jax.lax.stop_gradient(f) for f in r_feats]
         real_dep_ref = jax.lax.stop_gradient(real_dep_o)
         metrics["R_D_real"] = loss_rd_real
+        ctx.update(real_feats_d=real_feats_d, real_dep_ref=real_dep_ref,
+                   real_dep_4=real_dep_4)
+        return ctx
 
-        # ================= phase 3b: R_D syn =================
+    # ================= phase 3b: R_D syn =================
+    def _phase_rd_syn(self, ctx):
+        params, stats = ctx["params"], ctx["stats"]
+        opt_states, metrics = ctx["opt_states"], ctx["metrics"]
+        syn_seg_l, syn_dep_l = ctx["syn_seg_l"], ctx["syn_dep_l"]
+        syn_dep_ls = ctx["syn_dep_ls"]
+        sky, sky4 = ctx["sky"], ctx["sky4"]
+        oms, zms = ctx["oms"], ctx["zms"]
+        syn_feats, syn_psp = ctx["syn_feats"], ctx["syn_psp"]
+        _g2_s, _g2_r, rd = self._phase_nets()
+
         def rd_syn_loss_fn(rdp):
             (feats, seg, (dep_4, dep_o)), s_rd = rd(
                 rdp, stats["R_D"], syn_feats, syn_psp)
@@ -268,8 +366,15 @@ class S2DModel(BaseModel):
         metrics["dep_ref"] = dep_ref_loss
         metrics["dep_l1"] = dep_l1_term
         metrics["dep_band"] = dep_band_term
+        ctx.update(syn_feats_d=syn_feats_d, syn_dep_4=syn_dep_4,
+                   syn_dep_o=syn_dep_o)
+        return ctx
 
-        # ================= phase 4: FD1-3 =================
+    # ================= phase 4: FD1-3 =================
+    def _phase_fd(self, ctx):
+        params, stats = ctx["params"], ctx["stats"]
+        opt_states, metrics = ctx["opt_states"], ctx["metrics"]
+        real_feats_d, syn_feats_d = ctx["real_feats_d"], ctx["syn_feats_d"]
         fd_total = jnp.zeros(())
         for i, name in enumerate(("FD1", "FD2", "FD3")):
             net = getattr(self, f"net_{name}")
@@ -288,19 +393,24 @@ class S2DModel(BaseModel):
             stats[name] = s_fd
             fd_total = fd_total + fd_loss
         metrics["FD"] = fd_total
+        return ctx
 
-        # subclass hook (semantic_trans: DIS / Dis_160 / Dis_320 updates + GP)
-        ctx = dict(real_dep_ref=real_dep_ref,
-                   syn_dep_ref=jax.lax.stop_gradient(syn_dep_o),
-                   real_dep_4=[jax.lax.stop_gradient(b) for b in real_dep_4],
-                   syn_dep_4=[jax.lax.stop_gradient(b) for b in syn_dep_4],
-                   syn_seg_l=syn_seg_l, real_seg_l=real_seg_l)
+    # ============ post: subclass hook (semantic_trans: DIS updates) ======
+    def _phase_post(self, ctx):
+        hook_ctx = dict(real_dep_ref=ctx["real_dep_ref"],
+                        syn_dep_ref=jax.lax.stop_gradient(ctx["syn_dep_o"]),
+                        real_dep_4=[jax.lax.stop_gradient(b)
+                                    for b in ctx["real_dep_4"]],
+                        syn_dep_4=[jax.lax.stop_gradient(b)
+                                   for b in ctx["syn_dep_4"]],
+                        syn_seg_l=ctx["syn_seg_l"],
+                        real_seg_l=ctx["real_seg_l"])
         params, stats, opt_states, metrics = self._post_phases(
-            params, stats, opt_states, metrics, ctx, rng)
-
-        new_state = state.replace(params=params, batch_stats=stats,
-                                  opt_states=opt_states, step=state.step + 1)
-        return new_state, self.metrics_dict(**metrics)
+            ctx["params"], ctx["stats"], ctx["opt_states"], ctx["metrics"],
+            hook_ctx, ctx["rng"])
+        ctx.update(params=params, stats=stats, opt_states=opt_states,
+                   metrics=metrics)
+        return ctx
 
     # ---- subclass hooks (no-ops in the new_multi end-state) -------------
     def _rd_real_adv_extra(self, params, stats, dep_4, dep_o):

@@ -57,9 +57,127 @@ def leaky(x, slope=0.02):
 # DenseNet
 # ---------------------------------------------------------------------------
 
+# --- chunked dense blocks (CDE_DENSE_CHUNKED=1) ----------------------------
+# The straight translation of torch DenseNet re-concatenates the growing
+# feature prefix at EVERY layer: an L-layer block moves O(L²·C) bytes of
+# pure copy traffic, and the per-layer norm1 re-reduces the whole prefix for
+# batch statistics. The S2D chip trace (tools/profile_diff_S2D_attack.txt)
+# puts copy+concatenate at ~61 ms/step = 28% of the train step — all of it
+# these chains. The chunked path re-expresses the SAME math (identical
+# parameter/stat trees, so checkpoints and importers are untouched):
+#
+#   * features accumulate in a binary-counter ("Fenwick") chunk list —
+#     adjacent equal-width chunks merge, so each feature is copied
+#     O(log L) times instead of O(L), and a layer sees ≤ ~6 chunks;
+#   * norm1 is BatchNorm: per-channel, so it splits over chunks — in train
+#     mode each feature is normalized ONCE when it is born (batch μ/σ² of a
+#     channel are the same in every later layer), and each layer applies
+#     only its own per-chunk affine (running stats update with the stored
+#     per-chunk μ/σ², exactly flax's momentum rule);
+#   * conv1 is 1×1: conv(concat(xs), W) == Σ conv(x_i, W_i) over kernel
+#     row slices — the concat input is never materialized;
+#   * the raw block output is concatenated ONCE (it is needed anyway as the
+#     skip feature / PspTrans input).
+#
+# Numerics: same reductions, re-associated — parity with the unchunked path
+# is within bf16 rounding (tests/test_s2d.py::test_dense_chunked_parity).
+
+
+def dense_chunked() -> bool:
+    """CDE_DENSE_CHUNKED=1 selects the chunked dense-block path (read at
+    trace time — flip per process to A/B; default off until the chip A/B
+    decides, tools/chip_queue_r5.sh items 3-6)."""
+    import os
+
+    return os.environ.get("CDE_DENSE_CHUNKED", "") not in ("", "0")
+
+
+class _BNVars(nn.Module):
+    """Declares exactly the param/stat tree of ``Norm('batch')``'s inner
+    flax BatchNorm (scale/bias params, mean/var batch_stats) WITHOUT
+    applying it, for the chunked path's sliced application."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class _NormVars(nn.Module):
+    """Adds the ``norm`` scope level so the tree matches ``Norm('batch')``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNVars(self.features, name="norm")()
+
+
+class _ConvKernel(nn.Module):
+    """Declares exactly ``Conv(..., use_bias=False)``'s kernel param."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming, self.shape, jnp.float32)
+
+
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.9  # flax convention: ra = m·ra + (1-m)·batch
+
+
+def _chunk_stats(x):
+    """Batch μ/σ² per channel, flax `_compute_stats` fast-variance form
+    (fp32, clipped)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(0, 1, 2))
+    mu2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    var = jnp.maximum(0.0, mu2 - jnp.square(mu))
+    return mu, var
+
+
+def _make_train_chunk(x, cd):
+    """(x̂, μ, σ²): normalize once, store x̂ in the compute dtype."""
+    mu, var = _chunk_stats(x)
+    xhat = ((x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + _BN_EPS))
+    return xhat.astype(cd), mu, var
+
+
+def _fenwick_push(chunks, new):
+    """Append ``new`` then merge trailing equal-channel-width chunks.
+
+    ``chunks`` is a list of tuples of arrays (last axis = channels); merging
+    concatenates component-wise. Keeps each feature's total copy count at
+    O(log L) while bounding the list length a layer must consume."""
+    chunks = list(chunks) + [new]
+    def width(c):
+        return c[0].shape[-1]
+    while len(chunks) >= 2 and width(chunks[-1]) == width(chunks[-2]):
+        a, b = chunks[-2], chunks[-1]
+        merged = tuple(
+            jnp.concatenate([pa, pb], axis=-1 if pa.ndim > 1 else 0)
+            for pa, pb in zip(a, b))
+        chunks = chunks[:-2] + [merged]
+    return chunks
+
 
 class DenseLayer(nn.Module):
-    """BN→ReLU→1×1(bn_size·k)→BN→ReLU→3×3(k), concat onto the input."""
+    """BN→ReLU→1×1(bn_size·k)→BN→ReLU→3×3(k), concat onto the input.
+
+    Accepts either a plain tensor (reference-shaped path) or a chunk list
+    (chunked path, see module comment above) — in the latter case it
+    returns ONLY the new ``growth_rate``-wide feature; the caller
+    (``DenseBlock``) owns the chunk bookkeeping."""
 
     growth_rate: int = 32
     bn_size: int = 4
@@ -68,15 +186,61 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            return self._tail(self._chunked_head(x, train), train)
         h = nn.relu(Norm("batch", dtype=self.dtype, name="norm1")(x, train=train))
         h = Conv(self.bn_size * self.growth_rate, 1, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv1")(h)
+        return jnp.concatenate([x, self._tail(h, train)], axis=-1)
+
+    def _tail(self, h, train):
         h = nn.relu(Norm("batch", dtype=self.dtype, name="norm2")(h, train=train))
         h = Conv(self.growth_rate, 3, padding=1, use_bias=False,
                  kernel_init=kaiming, dtype=self.dtype, name="conv2")(h)
         if self.drop_rate > 0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
-        return jnp.concatenate([x, h], axis=-1)
+        return h
+
+    def _chunked_head(self, chunks, train):
+        """norm1→relu→conv1 consuming the chunk list without a concat."""
+        from jax import lax
+
+        from ..ops.layers import DIMENSION_NUMBERS
+
+        c_in = sum(c[0].shape[-1] for c in chunks)
+        feat = self.bn_size * self.growth_rate
+        scale, bias, ra_mean, ra_var = _NormVars(c_in, name="norm1")()
+        kernel = _ConvKernel((1, 1, c_in, feat), name="conv1")()
+        cd = self.dtype or chunks[0][0].dtype
+        out = None
+        off = 0
+        for c in chunks:
+            if train:
+                xhat, _mu, _var = c
+                y = xhat.astype(cd) * scale[off:off + xhat.shape[-1]].astype(cd)
+                y = y + bias[off:off + xhat.shape[-1]].astype(cd)
+            else:
+                (raw,) = c
+                w = raw.shape[-1]
+                mul = (jax.lax.rsqrt(ra_var.value[off:off + w] + _BN_EPS)
+                       * scale[off:off + w])
+                y = ((raw.astype(jnp.float32) - ra_mean.value[off:off + w])
+                     * mul + bias[off:off + w]).astype(cd)
+            y = nn.relu(y)
+            w = y.shape[-1]
+            o = lax.conv_general_dilated(
+                y, kernel[:, :, off:off + w, :].astype(cd), (1, 1),
+                ((0, 0), (0, 0)), dimension_numbers=DIMENSION_NUMBERS)
+            out = o if out is None else out + o
+            off += w
+        if train and not self.is_initializing():
+            batch_mean = jnp.concatenate([c[1] for c in chunks])
+            batch_var = jnp.concatenate([c[2] for c in chunks])
+            ra_mean.value = (_BN_MOMENTUM * ra_mean.value
+                             + (1 - _BN_MOMENTUM) * batch_mean)
+            ra_var.value = (_BN_MOMENTUM * ra_var.value
+                            + (1 - _BN_MOMENTUM) * batch_var)
+        return out
 
 
 class DenseBlock(nn.Module):
@@ -88,10 +252,25 @@ class DenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if dense_chunked():
+            return self._chunked(x, train)
         for i in range(self.num_layers):
             x = DenseLayer(self.growth_rate, self.bn_size, self.drop_rate,
                            self.dtype, name=f"denselayer{i + 1}")(x, train=train)
         return x
+
+    def _chunked(self, x, train):
+        cd = self.dtype or x.dtype
+        raws = [x]
+        chunks = [(_make_train_chunk(x, cd) if train else (x,))]
+        for i in range(self.num_layers):
+            h = DenseLayer(self.growth_rate, self.bn_size, self.drop_rate,
+                           self.dtype, name=f"denselayer{i + 1}")(
+                               chunks, train=train)
+            raws.append(h)
+            chunks = _fenwick_push(
+                chunks, _make_train_chunk(h, cd) if train else (h,))
+        return jnp.concatenate(raws, axis=-1)
 
 
 class Transition(nn.Module):
@@ -428,20 +607,27 @@ class RDep(nn.Module):
     trunk features, then seg + depth heads on the 1/2-scale feature.
 
     Returns ((out0, out1, out2), seg, (dep_4, dep_o)).
+
+    ``base_c`` must equal the trunk's ``mid_nc`` (the reference hardcodes
+    1024, networks5_ds.py:741-759); each G_side halves it. Non-default
+    values are used by reduced test/dryrun configs (cfg.s2d_mid_nc).
     """
 
     dtype: Optional[Dtype] = None
+    base_c: int = 1024
 
     @nn.compact
     def __call__(self, s_features, d_feature, *, train: bool = False):
-        out0 = GSide(1024, dtype=self.dtype, name="gs0")(
+        c = self.base_c
+        out0 = GSide(c, dtype=self.dtype, name="gs0")(
             s_features[3], d_feature, train=train)
-        out1 = GSide(512, dtype=self.dtype, name="gs1")(
+        out1 = GSide(c // 2, dtype=self.dtype, name="gs1")(
             s_features[2], out0, train=train)
-        out2 = GSide(256, dtype=self.dtype, name="gs2")(
+        out2 = GSide(c // 4, dtype=self.dtype, name="gs2")(
             s_features[1], out1, train=train)
-        seg = SegBlock(128, 28, dtype=self.dtype, name="seg_d")(out2, train=train)
-        dep_4, dep_o = DepthBlock(128, dtype=self.dtype, name="dep")(
+        seg = SegBlock(c // 8, 28, dtype=self.dtype, name="seg_d")(out2,
+                                                                   train=train)
+        dep_4, dep_o = DepthBlock(c // 8, dtype=self.dtype, name="dep")(
             out2, train=train)
         return (out0, out1, out2), seg, (dep_4, dep_o)
 

@@ -774,3 +774,77 @@ def test_rdep_import_parity_vs_reference_module():
     np.testing.assert_allclose(np.asarray(dep_o),
                                dep1_t.numpy().transpose(0, 2, 3, 1),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_phased_step_equals_fused():
+    """`train_step_phased` (six jit programs — the driver dryrun's compile
+    path) matches the fused `train_step` round-robin: metrics to float
+    noise, post-Adam params within reduction-order tolerance at the damped
+    adam_eps (see _assert_params_close for why step-1 Adam amplifies)."""
+    cfg = apply_model_defaults(Config(model="S2D", batch_size=1,
+                                      dense_block_config=[2, 2, 2, 2],
+                                      g1_blocks=1, adam_eps=1e-3))
+    fused = create_model(cfg)
+    phased = create_model(cfg)
+    h, w = 192, 192
+    state = _init_at(fused, h, w)
+    batch = {
+        "img_syn": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "img_real": jnp.asarray(RNG.randn(1, h, w, 3), jnp.float32),
+        "seg_l_syn": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "seg_l_real": jnp.asarray(RNG.randint(0, 28, (1, h, w)), jnp.int32),
+        "dep_l_syn": jnp.asarray(RNG.rand(1, h, w, 1) * 2 - 1, jnp.float32),
+        "depth_l_s": jnp.asarray(np.sign(RNG.randn(1, h, w, 4)), jnp.float32),
+    }
+    sA, mA = fused.train_step(state, batch, jax.random.key(1))
+    sB, mB = phased.train_step_phased(state, batch, jax.random.key(1))
+    assert set(mA) == set(mB)
+    for k in mA:
+        np.testing.assert_allclose(float(mB[k]), float(mA[k]), rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+    for net in sA.params:
+        for a, b in zip(jax.tree.leaves(sA.params[net]),
+                        jax.tree.leaves(sB.params[net])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-4, rtol=0, err_msg=net)
+    assert int(sB.step) == int(sA.step) == 1
+
+
+def test_dense_chunked_parity(monkeypatch):
+    """CDE_DENSE_CHUNKED re-expresses the dense blocks (Fenwick chunk list,
+    normalize-once BN, 1×1-conv decomposition) with an IDENTICAL variable
+    tree; outputs and updated batch stats must match the reference-shaped
+    path to float32 noise in both train and eval modes."""
+    net = GeneralNet(mid_nc=128, num_init_features=64, growth_rate=32,
+                     block_config=(2, 3, 2))
+    x = jnp.asarray(RNG.randn(2, 64, 64, 3), jnp.float32)
+
+    monkeypatch.delenv("CDE_DENSE_CHUNKED", raising=False)
+    variables = net.init(jax.random.key(0), x, "R")
+    (psp_a, feats_a), mut_a = net.apply(variables, x, "R", train=True,
+                                        mutable=["batch_stats"])
+    (psp_ae, feats_ae) = net.apply(variables, x, "R", train=False)
+
+    monkeypatch.setenv("CDE_DENSE_CHUNKED", "1")
+    v_chunk = net.init(jax.random.key(0), x, "R")
+    assert (jax.tree_util.tree_structure(v_chunk)
+            == jax.tree_util.tree_structure(variables))
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v_chunk)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    (psp_b, feats_b), mut_b = net.apply(variables, x, "R", train=True,
+                                        mutable=["batch_stats"])
+    (psp_be, feats_be) = net.apply(variables, x, "R", train=False)
+
+    np.testing.assert_allclose(np.asarray(psp_b), np.asarray(psp_a),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(psp_be), np.asarray(psp_ae),
+                               rtol=1e-4, atol=1e-4)
+    for fa, fb in zip(feats_a, feats_b):
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                                   rtol=1e-4, atol=1e-4)
+    for fa, fb in zip(feats_ae, feats_be):
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(mut_a), jax.tree.leaves(mut_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
