@@ -85,8 +85,15 @@ def leaky(x, slope=0.02):
 
 def dense_chunked() -> bool:
     """CDE_DENSE_CHUNKED=1 selects the chunked dense-block path (read at
-    trace time — flip per process to A/B; default off until the chip A/B
-    decides, tools/chip_queue_r5.sh items 3-6)."""
+    trace time — flip per process to A/B).
+
+    REJECTED BY MEASUREMENT (default stays off): same-day v5e A/Bs
+    2026-08-21 measured S2D bf16 bs1 8.93 vs 9.14 control (−2.3%) and
+    S2D_base 11.06 vs 11.96 (−7.5%) — the narrow-K per-chunk 1×1 convs
+    underfill the MXU and the extra x̂ materialization costs more than the
+    concat/copy traffic it removes; XLA's conv-input fusion already
+    digests the concat chains well (tools/bench_runs.jsonl). Kept as a
+    correct, parity-tested alternative expression of the same math."""
     import os
 
     return os.environ.get("CDE_DENSE_CHUNKED", "") not in ("", "0")
@@ -535,7 +542,11 @@ class GSide(nn.Module):
                  dtype=self.dtype, name="out_conv1")(h)
         h = Norm("batch", dtype=self.dtype, name="out_norm1")(leaky(h), train=train)
         n, hh, ww, cc = h.shape
-        return resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
+        # MXU-matmul resize by default here: two same-day chip pairs
+        # measured +2.4%/+4.9% on the S2D train step (bench_runs.jsonl
+        # 2026-08-21 decision row); CDE_RESIZE_MM=0 forces gather back
+        return resize_bilinear(h, (hh * 2, ww * 2), align_corners=True,
+                               prefer_mm=True)
 
 
 class DepthBlock(nn.Module):
@@ -598,7 +609,9 @@ class SegBlock(nn.Module):
         h = Conv(self.out_c, 1, use_bias=True, kernel_init=normal02,
                  dtype=self.dtype, name="conv1")(h)
         n, hh, ww, c = h.shape
-        h = resize_bilinear(h, (hh * 2, ww * 2), align_corners=True)
+        # prefer_mm: see GSide — the S2D refiner resizes run on the MXU
+        h = resize_bilinear(h, (hh * 2, ww * 2), align_corners=True,
+                            prefer_mm=True)
         return leaky(Norm("batch", dtype=self.dtype, name="norm1")(h, train=train))
 
 

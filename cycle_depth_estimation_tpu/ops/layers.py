@@ -460,17 +460,26 @@ def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, size: Tuple[int, int],
-                    align_corners: bool = False) -> jax.Array:
+                    align_corners: bool = False,
+                    prefer_mm: Optional[bool] = None) -> jax.Array:
     """Bilinear resize matching torch F.interpolate(mode='bilinear').
 
     align_corners=False → half-pixel centers (same as jax.image.resize).
     align_corners=True  → endpoint-aligned sampling (used throughout the
     reference's upsampling heads, e.g. new_model/my_rf_lw.py decoders).
+
+    ``prefer_mm`` is the call site's default for the MXU-matmul kernel
+    (`resize_bilinear_mm`, same two-tap weights): the S2D refiner sites
+    pass True — two same-day chip pairs measured MM +2.4%/+4.9% on the
+    S2D train step (bench_runs.jsonl 2026-08-20/21) — while rf_lw keeps
+    the gather form (MM measured neutral-negative there, 31.18 vs 31.77).
+    The CDE_RESIZE_MM env var force-overrides every site when set
+    ("1" → MM everywhere, "0" → gather everywhere) for A/Bs.
     """
     n, h, w, c = x.shape
     oh, ow = size
     if not align_corners:
-        if _RESIZE_MM:
+        if _use_mm(prefer_mm):
             return resize_bilinear_mm(x, size, align_corners=False)
         # antialias=False: torch F.interpolate does NOT antialias on
         # downscale, while jax.image.resize defaults to True (review fix —
@@ -488,7 +497,7 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int],
         frac = pos - i0.astype(jnp.float32)
         return i0, i1, frac
 
-    if _RESIZE_MM:
+    if _use_mm(prefer_mm):
         return resize_bilinear_mm(x, size, align_corners=True)
     r0, r1, rf = axis_weights(h, oh)
     xf = x.astype(jnp.float32)
@@ -498,10 +507,17 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int],
     return out.astype(x.dtype)
 
 
-# route the endpoint-aligned resizes through the matmul form below
-# (CDE_RESIZE_MM=1; read at trace time — flip it per-process to A/B the
-# rf_lw / S2D steps, tools/bench-able without touching model code)
-_RESIZE_MM = os.environ.get("CDE_RESIZE_MM", "") not in ("", "0")
+def _use_mm(prefer_mm: Optional[bool]) -> bool:
+    """Resolve gather-vs-matmul for one resize call (read at trace time).
+
+    CDE_RESIZE_MM unset → the call site's ``prefer_mm`` (None/False =
+    gather); set → "0" forces gather everywhere, anything else forces the
+    matmul form everywhere (per-process A/B without touching model code).
+    """
+    v = os.environ.get("CDE_RESIZE_MM", "")
+    if v == "":
+        return bool(prefer_mm)
+    return v != "0"
 
 
 def _interp_matrix(in_len: int, out_len: int,

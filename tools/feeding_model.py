@@ -50,9 +50,7 @@ CHIP = {
     "S2D bf16 bs1": (9.376, "2026-08-20", "try"),
     "S2D bf16 bs2": (8.314, "2026-08-20", "try"),
     "S2D_base bf16": (11.498, "2026-08-20", "try"),
-    # S2D_df bf16 12.81 on 2026-08-20 is ANOMALOUS (below same-code fp32
-    # 16.23); excluded until the root-cause A/B lands (VERDICT r4 item 3)
-    "S2D_df bf16": (None, "anomaly under investigation", "try"),
+    "S2D_df bf16": (17.178, "2026-08-21", "try"),
     "S2D_nd bf16": (19.822, "2026-08-19", "try"),
     "rf_lw bf16 bs2": (31.768, "2026-08-19", "try"),
     "semantic_trans bf16": (8.797, "2026-08-20", "try"),

@@ -32,10 +32,9 @@ V5E_INT8_MEASURED = 184e12  # best measured int8 rate on this chip (README)
 # measured throughputs (img/s/chip); every row's producing run (date +
 # command + raw output) is recorded in tools/bench_runs.jsonl. All rows
 # are post-attack (one-hot CE + BN compute dtype) current-code rates,
-# 2026-08-19/20, EXCEPT s2d_df: its 2026-08-20 bf16 reading (12.81) is
-# anomalous (below same-code fp32 16.23) and under root-cause
-# investigation (VERDICT r4 item 3); the old-code 16.73 stands flagged
-# until resolved.
+# 2026-08-19/21 (s2d_df's 2026-08-20 "12.81" anomaly did not reproduce in
+# the 2026-08-21 same-day pair — 17.18 bf16 vs 14.9-16.7 fp32 — and is
+# closed as a contaminated run).
 MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
@@ -44,7 +43,7 @@ MEASURED = {
     "s2d_base_train_bf16": 11.498,
     "semantic_trans_train_bf16": 8.797,
     "rf_lw_train_bf16": 31.768,
-    "s2d_df_train_bf16": 16.729,
+    "s2d_df_train_bf16": 17.178,
     "s2d_nd_train_bf16": 19.822,
 }
 
