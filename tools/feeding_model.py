@@ -49,7 +49,9 @@ CHIP = {
     # family: (rate, dtype/batch note, host pipeline key)
     "S2D bf16 bs1": (9.376, "2026-08-20", "try"),
     "S2D bf16 bs2": (8.314, "2026-08-20", "try"),
+    "S2D bf16 bs8": (21.21, "2026-08-21 working point", "try"),
     "S2D_base bf16": (11.498, "2026-08-20", "try"),
+    "S2D_base bf16 bs8": (27.08, "2026-08-21 working point", "try"),
     "S2D_df bf16": (17.178, "2026-08-21", "try"),
     "S2D_nd bf16": (19.822, "2026-08-19", "try"),
     "rf_lw bf16 bs2": (31.768, "2026-08-19", "try"),

@@ -39,11 +39,16 @@ MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
     "cycle_gan_train_bf16": 41.5,
-    "s2d_train_bf16": 9.376,
-    "s2d_base_train_bf16": 11.498,
+    # s2d/s2d_base: bf16 **batch-8** working points (2026-08-21 envelope
+    # sweep: bs8 no-remat fits post-attack and more than doubles the bs1
+    # rates — 21.21 vs 9.38, 27.08 vs 11.96; per-image HLO flops are
+    # batch-invariant so the committed flop rows apply unchanged)
+    "s2d_train_bf16": 21.21,
+    "s2d_base_train_bf16": 27.08,
     "semantic_trans_train_bf16": 8.797,
     "rf_lw_train_bf16": 31.768,
-    "s2d_df_train_bf16": 17.178,
+    # bf16 batch-8 working point (37.67 vs 17.18 at bs1, 2026-08-21)
+    "s2d_df_train_bf16": 37.672,
     "s2d_nd_train_bf16": 19.822,
 }
 
