@@ -53,7 +53,10 @@ CHIP = {
     "S2D_base bf16": (11.498, "2026-08-20", "try"),
     "S2D_base bf16 bs8": (27.08, "2026-08-21 working point", "try"),
     "S2D_df bf16": (17.178, "2026-08-21", "try"),
+    "S2D_df bf16 bs8": (37.672, "2026-08-21 working point", "try"),
     "S2D_nd bf16": (19.822, "2026-08-19", "try"),
+    "S2D_nd bf16 bs8": (44.11, "2026-08-21 working point", "try"),
+    "semantic_trans bf16 bs8": (20.61, "2026-08-21 working point", "try"),
     "rf_lw bf16 bs2": (31.768, "2026-08-19", "try"),
     "semantic_trans bf16": (8.797, "2026-08-20", "try"),
     "cycle_gan bf16 bs16": (41.5, "2026-08-19 (r2)", "cyclegan"),

@@ -39,17 +39,19 @@ MEASURED = {
     "generator_bf16": 1129.0,
     "generator_int8_fused": 1407.0,
     "cycle_gan_train_bf16": 41.5,
-    # s2d/s2d_base: bf16 **batch-8** working points (2026-08-21 envelope
-    # sweep: bs8 no-remat fits post-attack and more than doubles the bs1
-    # rates — 21.21 vs 9.38, 27.08 vs 11.96; per-image HLO flops are
+    # S2D-family rows: bf16 **batch-8** working points (2026-08-21
+    # envelope sweep: bs8 no-remat fits post-attack and more than doubles
+    # every family's bs1 rate — S2D 21.21 vs 9.38, S2D_base 27.08 vs
+    # 11.96, S2D_df 37.67 vs 17.18, S2D_nd 44.11 vs 19.82,
+    # semantic_trans 20.61 vs 8.80; per-image HLO flops are
     # batch-invariant so the committed flop rows apply unchanged)
     "s2d_train_bf16": 21.21,
     "s2d_base_train_bf16": 27.08,
-    "semantic_trans_train_bf16": 8.797,
+    "semantic_trans_train_bf16": 20.61,
     "rf_lw_train_bf16": 31.768,
     # bf16 batch-8 working point (37.67 vs 17.18 at bs1, 2026-08-21)
     "s2d_df_train_bf16": 37.672,
-    "s2d_nd_train_bf16": 19.822,
+    "s2d_nd_train_bf16": 44.11,
 }
 
 
