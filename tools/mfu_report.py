@@ -48,7 +48,7 @@ MEASURED = {
     "s2d_train_bf16": 21.21,
     "s2d_base_train_bf16": 27.08,
     "semantic_trans_train_bf16": 20.61,
-    "rf_lw_train_bf16": 31.768,
+    "rf_lw_train_bf16": 52.194,  # bs8 working point (31.77 at bs2)
     # bf16 batch-8 working point (37.67 vs 17.18 at bs1, 2026-08-21)
     "s2d_df_train_bf16": 37.672,
     "s2d_nd_train_bf16": 44.11,
